@@ -1,0 +1,158 @@
+"""Problem / solver configuration.
+
+The reference scatters tunables over class attributes (``smooth = 7``,
+`cpu.lua:20`; ``epsilon = 1e-10``, `cpu.lua:21`; ``maxiter = 1000``,
+`cpu.lua:22`; ``debug`` flags) and positional constructor args
+(``(size, real, cpuDepth)``, `cpu-gpu.lua:61`).  Here everything lives in
+one frozen dataclass so it can be closed over by ``jax.jit`` as static
+configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# scheme -> (coarse-level bc, prolongation kind, default smoother,
+#            default pre/post sweeps)
+SCHEMES = {
+    "reference": ("ghost0", "inject", "jacobi", 7),
+    "tuned": ("face", "bilinear", "rbgs", 2),
+}
+
+
+def _is_pow2(n: int) -> bool:
+    return n >= 1 and (n & (n - 1)) == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Spec:
+    """Static configuration for a multigrid Poisson solve.
+
+    Attributes:
+      size: grid side length; must be a power of two (the reference's
+        hierarchy halves down to 1x1, `cpu-raw.lua:155-171`).
+      ndim: 2 or 3 (reference is 2D only; 3D is a capability extension —
+        BASELINE.json config 4).
+      dtype: 'float32' | 'float64' | 'bfloat16'.  The reference prefers
+        fp64 devices and falls back to fp32 (`gpu.lua:7-15,32`); on TPU
+        f32 is the native fast path and f64 is emulated, so f32 is the
+        default with f64 available for oracle-parity runs.
+      scheme:
+        'reference' — exact parity with the reference algorithm:
+          zero-ghost Dirichlet at every level, constant-injection
+          prolongation, rediscretized coarse operators, Jacobi 7+7
+          (`cpu.lua:20,57,139,142-151`).  Converges, but its rate
+          degrades with grid size — a property of the reference scheme
+          itself (undamped Jacobi + misscaled coarse correction; see
+          mgpoisson/oracle.py).
+        'tuned' (default) — identical fine-level problem and fixed point
+          (zero-ghost operator on the fine grid), but face-Dirichlet
+          coarse operators, face-adapted bilinear prolongation, and
+          red-black Gauss-Seidel 2+2: level-independent V-cycle factor
+          ~0.22, <10 cycles to 1e-10 relative residual (the
+          BASELINE.json north star).
+      smoother: 'auto' (scheme default) | 'jacobi' (reference default,
+        `cpu.lua:57`) | 'rbgs' (red-black Gauss-Seidel — the
+        deterministic parallel form of the Gauss-Seidel the reference
+        documents as racy on parallel hardware, `gpu.lua:61-62`).
+      pre_smooth / post_smooth: smoother sweeps before/after coarse-grid
+        correction; None = scheme default (reference: 7+7, `cpu.lua:20`).
+      tol: convergence tolerance (`cpu.lua:21`).
+      stop: 'update' — RMS of the iterate update, the reference's
+        criterion (`cpu.lua:203`); 'residual' — relative true-residual
+        norm ||r||/||r0||, the BASELINE.json metric.
+      maxiter: outer V-cycle budget (`cpu.lua:22`).
+      h: grid spacing at the finest level.  The reference uses 1/size
+        (`cpu.lua:198`, `cpu-raw.lua:242`); its cl.obj variant uses
+        1/(size+1) (`test/test-gpu-obj.lua:252`) — pass explicitly to
+        reproduce that variant.
+      cycle: 'v' (the reference's only cycle, named twoGrid) | 'w' | 'fmg'.
+      backend: 'auto' | 'xla' | 'pallas'.  'auto' uses Pallas kernels on
+        TPU for levels with side >= pallas_min_size and XLA ops below
+        (the TPU analog of the hybrid variant's cpuDepth switch,
+        `cpu-gpu.lua:17-52`: tiny grids are launch-latency-bound on the
+        accelerator path).
+      pallas_min_size: level side below which 'auto' falls back to XLA ops.
+      coarse_size: side length of the coarsest level; the reference
+        recurses to 1x1 and applies a single smoother step there
+        (`cpu.lua:76-94`).
+      mesh_shape: device mesh shape for sharded execution (None = single
+        device).
+      replicate_below: level side at or below which sharded execution
+        switches to replicated arrays (the cpuDepth handoff reborn:
+        coarse grids are collective-latency-bound; `test/test.lua:42`
+        uses cpuDepth=3 i.e. 8x8).
+    """
+
+    size: int
+    ndim: int = 2
+    dtype: str = "float32"
+    scheme: str = "tuned"
+    smoother: str = "auto"
+    pre_smooth: Optional[int] = None
+    post_smooth: Optional[int] = None
+    tol: float = 1e-10
+    stop: str = "update"
+    maxiter: int = 1000
+    h: Optional[float] = None
+    cycle: str = "v"
+    backend: str = "auto"
+    pallas_min_size: int = 256
+    coarse_size: int = 1
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    replicate_below: int = 64
+
+    def __post_init__(self):
+        if not _is_pow2(self.size):
+            raise ValueError(f"size must be a power of two, got {self.size}")
+        if self.ndim not in (2, 3):
+            raise ValueError(f"ndim must be 2 or 3, got {self.ndim}")
+        if self.scheme not in SCHEMES:
+            raise ValueError(f"unknown scheme {self.scheme!r}")
+        if self.smoother not in ("auto", "jacobi", "rbgs"):
+            raise ValueError(f"unknown smoother {self.smoother!r}")
+        if self.cycle not in ("v", "w", "fmg"):
+            raise ValueError(f"unknown cycle {self.cycle!r}")
+        if self.stop not in ("update", "residual"):
+            raise ValueError(f"unknown stop criterion {self.stop!r}")
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if not _is_pow2(self.coarse_size) or self.coarse_size > self.size:
+            raise ValueError(f"bad coarse_size {self.coarse_size}")
+        if self.dtype not in ("float32", "float64", "bfloat16"):
+            raise ValueError(f"unsupported dtype {self.dtype!r}")
+
+    # ------------------------------------------------- resolved parameters
+
+    @property
+    def coarse_bc(self) -> str:
+        return SCHEMES[self.scheme][0]
+
+    @property
+    def prolong_kind(self) -> str:
+        return SCHEMES[self.scheme][1]
+
+    @property
+    def smoother_resolved(self) -> str:
+        return SCHEMES[self.scheme][2] if self.smoother == "auto" else self.smoother
+
+    @property
+    def nu_pre(self) -> int:
+        return SCHEMES[self.scheme][3] if self.pre_smooth is None else self.pre_smooth
+
+    @property
+    def nu_post(self) -> int:
+        return SCHEMES[self.scheme][3] if self.post_smooth is None else self.post_smooth
+
+    @property
+    def fine_h(self) -> float:
+        """Grid spacing at the finest level (reference: 1/size, `cpu.lua:198`)."""
+        return self.h if self.h is not None else 1.0 / self.size
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (self.size,) * self.ndim
+
+    def with_(self, **kw) -> "Spec":
+        return dataclasses.replace(self, **kw)

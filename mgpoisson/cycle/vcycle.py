@@ -1,0 +1,108 @@
+"""Multigrid cycles as jit-compatible fixed-depth programs.
+
+The reference's `twoGrid` is host-recursive with per-level buffers keyed
+by side length (`cpu.lua:70-165`, `gpu.lua:296-346`).  Under jit the
+recursion unrolls at trace time over the static level list — shapes
+differ per level so a dynamic loop is impossible, and depth is only
+log2(size) <= 14 stages (SURVEY.md section 7).
+
+Rediscretized coarse operators: h doubles per level (`cpu.lua:139`).
+The coarsest level gets a single smoother application (`cpu.lua:76-94`),
+exact at 1x1.  The fine level always uses the reference's zero-ghost
+operator (the problem definition); coarse-level bc and the prolongation
+kind come from spec.scheme (see mgpoisson.oracle for the analysis).
+
+Beyond the reference's V-cycle, `w_cycle` and `fmg` (full multigrid) are
+provided — the standard stronger cycles.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mgpoisson.kernels import get_ops
+
+Trace = List[Tuple[str, int, jax.Array]]
+
+
+def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace]):
+    """gamma=1 -> V-cycle, gamma=2 -> W-cycle."""
+    n = u.shape[0]
+    ops = get_ops(spec, n)
+    bc = "ghost0" if fine_level else spec.coarse_bc
+    smoother = spec.smoother_resolved
+
+    def rec(name, arr):
+        if trace is not None:
+            trace.append((name, arr.shape[0], arr))
+
+    if n <= spec.coarse_size:
+        rec("f", f)
+        u = ops.coarse_solve(u, f, h, smoother, bc)
+        rec("u", u)
+        return u
+
+    u = ops.smooth(u, f, h, spec.nu_pre, smoother, bc)
+    rec("u_pre", u)
+
+    R = ops.residual_restrict(u, f, h, bc)
+    if trace is not None:
+        rec("r", ops.residual(u, f, h, bc))
+        rec("R", R)
+
+    V = jnp.zeros_like(R)
+    for _ in range(gamma):
+        V = _cycle(V, R, 2 * h, spec, gamma, False, trace)
+    rec("V", V)
+
+    u = ops.prolong_correct(u, V, spec.prolong_kind)
+    if trace is not None:
+        rec("v", ops.prolong(V, spec.prolong_kind))
+        rec("u_corr", u)
+
+    u = ops.smooth(u, f, h, spec.nu_post, smoother, bc)
+    rec("u_post", u)
+    return u
+
+
+def v_cycle(u, f, h, spec, trace: Optional[Trace] = None):
+    """One V-cycle — the reference's twoGrid (`cpu.lua:70-165`)."""
+    return _cycle(u, f, h, spec, gamma=1, fine_level=True, trace=trace)
+
+
+def w_cycle(u, f, h, spec, trace: Optional[Trace] = None):
+    """One W-cycle (two coarse-grid visits per level)."""
+    return _cycle(u, f, h, spec, gamma=2, fine_level=True, trace=trace)
+
+
+def fmg(f, h, spec, n_vcycles: int = 1):
+    """Full multigrid: solve coarsest first, prolong up, V-cycle(s) per
+    level.  Reaches discretization accuracy in one O(N) pass."""
+    fs = [f]
+    while fs[-1].shape[0] > spec.coarse_size:
+        fs.append(get_ops(spec, fs[-1].shape[0]).restrict(fs[-1]))
+    hs = [h * (2 ** i) for i in range(len(fs))]
+
+    u = jnp.zeros_like(fs[-1])
+    bc = "ghost0" if len(fs) == 1 else spec.coarse_bc
+    u = get_ops(spec, u.shape[0]).coarse_solve(
+        u, fs[-1], hs[-1], spec.smoother_resolved, bc)
+    for lvl in range(len(fs) - 2, -1, -1):
+        u = get_ops(spec, fs[lvl].shape[0]).prolong(u, spec.prolong_kind)
+        for _ in range(n_vcycles):
+            u = _cycle(u, fs[lvl], hs[lvl], spec, 1, lvl == 0, None)
+    return u
+
+
+def make_cycle(spec):
+    """Return the cycle function selected by spec.cycle, signature
+    (u, f, h) -> u."""
+    if spec.cycle == "v":
+        return lambda u, f, h: v_cycle(u, f, h, spec)
+    if spec.cycle == "w":
+        return lambda u, f, h: w_cycle(u, f, h, spec)
+    raise ValueError(f"cycle {spec.cycle!r} has no per-step form (fmg is "
+                     "a one-shot solve; use mgpoisson.cycle.fmg)")

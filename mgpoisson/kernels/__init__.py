@@ -1,0 +1,44 @@
+"""Kernel layer: the grid-point operations of the reference's L1
+(OpenCL kernels `gpu.lua:37-202`, FFI loops `cpu-raw.lua:8-114`),
+implemented two ways behind one interface:
+
+- `mgpoisson.kernels.xla`   — pure jnp, rank-polymorphic (2D/3D), runs
+  anywhere; XLA fuses the pad/shift stencils.
+- `mgpoisson.kernels.pallas`— TPU Pallas kernels for the hot 2D path:
+  fused multi-sweep smoothers (one HBM round-trip for all nu sweeps)
+  and fused residual+restrict.
+
+`get_ops(spec, level_size)` picks the backend per level: Pallas on TPU
+for levels at least `spec.pallas_min_size` wide, XLA otherwise — the
+TPU analog of the reference hybrid's cpuDepth switch (`cpu-gpu.lua:17-52`).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from mgpoisson.kernels import xla
+
+
+def _tpu_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def get_ops(spec, level_size: int):
+    """Return the op module to use for a level of side `level_size`."""
+    if spec.backend == "xla":
+        return xla
+    if spec.ndim != 2:
+        return xla  # Pallas path is 2D-specialized for now
+    use_pallas = spec.backend == "pallas" or (
+        spec.backend == "auto"
+        and _tpu_available()
+        and level_size >= spec.pallas_min_size
+    )
+    if use_pallas:
+        from mgpoisson.kernels import pallas as pallas_ops
+        return pallas_ops
+    return xla

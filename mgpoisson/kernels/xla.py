@@ -1,0 +1,192 @@
+"""Pure-jnp kernel implementations (rank-polymorphic 2D/3D).
+
+Each function mirrors one reference grid-point op (SURVEY.md section 2.2
+N1-N10) with identical semantics; XLA fuses the pad/shift stencils into
+single bandwidth-bound loops.  This is the portable backend (CPU CI,
+interpret-mode parity) and the fallback below the Pallas level-size
+threshold.
+
+All stencil ops take `bc`:
+  'ghost0' — out-of-range neighbors read 0 (`cpu.lua:28-31`): the
+             reference's operator; always used on the fine level.
+  'face'   — ghost = -u_edge (Dirichlet at the cell face): the tuned
+             scheme's coarse-level operator (see mgpoisson.oracle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def neighbor_sum(u: jax.Array, bc: str = "ghost0") -> jax.Array:
+    """Zero-ghost / face-Dirichlet sum of the 2*ndim face neighbors
+    (`gpu.lua:72-75`)."""
+    pad = jnp.pad(u, 1)
+    s = None
+    for ax in range(u.ndim):
+        idx_lo = tuple(slice(1, -1) if a != ax else slice(0, -2)
+                       for a in range(u.ndim))
+        idx_hi = tuple(slice(1, -1) if a != ax else slice(2, None)
+                       for a in range(u.ndim))
+        term = pad[idx_lo] + pad[idx_hi]
+        s = term if s is None else s + term
+        if bc == "face":
+            first = tuple(slice(None) if a != ax else slice(0, 1)
+                          for a in range(u.ndim))
+            last = tuple(slice(None) if a != ax else slice(-1, None)
+                         for a in range(u.ndim))
+            s = s.at[first].add(-u[first])
+            s = s.at[last].add(-u[last])
+    return s
+
+
+def jacobi_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
+    """One out-of-place Jacobi sweep (Jacobi kernel, `gpu.lua:83-102`)."""
+    hsq = h * h
+    askew = neighbor_sum(u, bc) / hsq
+    adiag = -2.0 * u.ndim / hsq
+    return (f - askew) / adiag
+
+
+def _parity_mask(shape, ndim):
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    for ax in range(1, ndim):
+        idx = idx + jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+    return idx % 2
+
+
+def rbgs_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
+    """Red-black Gauss-Seidel sweep: the deterministic parallel GS (the
+    reference notes plain GS "doesn't guarantee order" on parallel
+    hardware and defaults to Jacobi, `gpu.lua:61-62`)."""
+    hsq = h * h
+    adiag = -2.0 * u.ndim / hsq
+    parity = _parity_mask(u.shape, u.ndim)
+    for p in (0, 1):
+        upd = (f - neighbor_sum(u, bc) / hsq) / adiag
+        u = jnp.where(parity == p, upd, u)
+    return u
+
+
+_SWEEPS = {"jacobi": jacobi_sweep, "rbgs": rbgs_sweep}
+
+
+def smooth(u: jax.Array, f: jax.Array, h, nu: int,
+           smoother: str = "jacobi", bc: str = "ghost0") -> jax.Array:
+    """nu smoother sweeps (the reference's smooth loop, `cpu.lua:96-106`)."""
+    sweep = _SWEEPS[smoother]
+    for _ in range(nu):
+        u = sweep(u, f, h, bc)
+    return u
+
+
+def residual(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
+    """r = f - A u (calcResidual, `gpu.lua:104-124`)."""
+    hsq = h * h
+    askew = neighbor_sum(u, bc) / hsq
+    adiag = -2.0 * u.ndim / hsq
+    return f - (askew + adiag * u)
+
+
+def apply_operator(u: jax.Array, h, bc: str = "ghost0") -> jax.Array:
+    """Matrix-free A u = (sum nbrs - 2*ndim*u)/h^2
+    (`test/converge-multigrid-vs-krylov.lua:46-58`)."""
+    hsq = h * h
+    return (neighbor_sum(u, bc) - 2.0 * u.ndim * u) / hsq
+
+
+def restrict(r: jax.Array) -> jax.Array:
+    """2^ndim-cell average restriction, exact 1/4 / 1/8 weights
+    (reduceResidual, `gpu.lua:126-137`)."""
+    for ax in range(r.ndim):
+        n = r.shape[ax]
+        shape = r.shape[:ax] + (n // 2, 2) + r.shape[ax + 1:]
+        r = r.reshape(shape).mean(axis=ax + 1)
+    return r
+
+
+def prolong(V: jax.Array, kind: str = "inject") -> jax.Array:
+    """Prolongation coarse -> fine.
+
+    kind='inject': piecewise-constant 2x upsample (expandResidual,
+    `gpu.lua:139-161`) — the reference's operator (NOT bilinear);
+    required for convergence-count parity.
+
+    kind='bilinear': cell-centered bi/trilinear with face-Dirichlet
+    boundary weights (tuned scheme).
+    """
+    nd = V.ndim
+    if kind == "inject":
+        for ax in range(nd):
+            V = jnp.repeat(V, 2, axis=ax)
+        return V
+    assert kind == "bilinear"
+    for ax in range(nd):
+        sl = lambda a, b: tuple(slice(None) if i != ax else slice(a, b)
+                                for i in range(nd))
+        pad = [(0, 0)] * nd
+        pad[ax] = (1, 1)
+        Vp = jnp.pad(V, pad)
+        lo = 0.25 * Vp[sl(0, -2)] + 0.75 * Vp[sl(1, -1)]
+        hi = 0.75 * Vp[sl(1, -1)] + 0.25 * Vp[sl(2, None)]
+        first = tuple(slice(None) if i != ax else slice(0, 1)
+                      for i in range(nd))
+        last = tuple(slice(None) if i != ax else slice(-1, None)
+                     for i in range(nd))
+        lo = lo.at[first].set(0.5 * V[first])
+        hi = hi.at[last].set(0.5 * V[last])
+        st = jnp.stack([lo, hi], axis=ax + 1)
+        V = st.reshape(V.shape[:ax] + (2 * V.shape[ax],) + V.shape[ax + 1:])
+    return V
+
+
+def prolong_correct(u: jax.Array, V: jax.Array, kind: str = "inject") -> jax.Array:
+    """Fused prolongation + coarse-grid correction u += P(V)
+    (expandResidual + addTo, `gpu.lua:139-171`); XLA fuses the upsample
+    into the add so v never hits HBM."""
+    return u + prolong(V, kind)
+
+
+def residual_restrict(u: jax.Array, f: jax.Array, h,
+                      bc: str = "ghost0") -> jax.Array:
+    """Fused residual + restriction (the r buffer never hits HBM)."""
+    return restrict(residual(u, f, h, bc))
+
+
+def coarse_solve(u: jax.Array, f: jax.Array, h, smoother: str = "jacobi",
+                 bc: str = "ghost0") -> jax.Array:
+    """Coarsest-level solve: single smoother application (`cpu.lua:76-94`),
+    exact at 1x1 for bc='ghost0'; exact 1x1 solve u = f*h^2/(-4*ndim)
+    for bc='face' (ghost = -u)."""
+    if bc == "face" and u.shape[0] == 1:
+        return f * (h * h) / (-4.0 * u.ndim)
+    return _SWEEPS[smoother](u, f, h, bc)
+
+
+# ------------------------------------------------------------------- metrics
+# On-device reductions — the reference computes per-cell error buffers on
+# device and sums on HOST (`gpu.lua:361-369`); here the whole reduction is
+# fused on device (SURVEY.md N9/N10).
+
+def rms_update(psi: jax.Array, psi_old: jax.Array) -> jax.Array:
+    """sqrt(sum((psi-psi_old)^2)/N) (calcFrobErr, `gpu.lua:361-369`)."""
+    acc = jnp.float32 if psi.dtype == jnp.bfloat16 else psi.dtype
+    d = (psi - psi_old).astype(acc)
+    return jnp.sqrt(jnp.sum(d * d) / psi.size)
+
+
+def rel_err(psi: jax.Array, psi_old: jax.Array) -> jax.Array:
+    """Masked mean |1 - psi/psi_old| (calcRelErr `gpu.lua:173-187` with
+    the cl.obj count normalization `test/test-gpu-obj.lua:236-243`)."""
+    mask = (psi_old != 0) & (psi_old != psi)
+    vals = jnp.where(mask, jnp.abs(1.0 - psi / jnp.where(mask, psi_old, 1.0)),
+                     0.0)
+    cnt = jnp.sum(mask)
+    return jnp.where(cnt > 0, jnp.sum(vals) / jnp.maximum(cnt, 1), 0.0)
+
+
+def residual_norm(u: jax.Array, f: jax.Array, h) -> jax.Array:
+    """L2 norm of the true fine-level residual (zero-ghost operator)."""
+    r = residual(u, f, h, "ghost0")
+    return jnp.sqrt(jnp.sum(r * r))

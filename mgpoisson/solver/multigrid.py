@@ -1,0 +1,178 @@
+"""Solver API — the L3 layer of the reference (SURVEY.md section 1).
+
+Reference surface reproduced:
+- construct with size / tol / maxiter / errorCallback (`cpu.lua:173-194`)
+- `step()` = one V-cycle + RMS-of-update error (`cpu.lua:196-206`)
+- `solve()` = iterate to maxiter with errorCallback early exit and
+  stop on err < tol or non-finite err (`cpu.lua:208-216`)
+
+TPU-first differences:
+- the whole solve loop can run on-device as one jitted
+  `lax.while_loop` with a fused on-device error reduction (the
+  reference blocks on a device->host readback every cycle,
+  `gpu.lua:362`); the callback path keeps per-cycle host sync for
+  API parity.
+- structured observability: per-cycle error history returned in
+  SolveResult rather than printed (`cpu-raw.lua:244,255`).
+- optional stop='residual': relative true-residual stopping
+  (||r||/||r0||), the BASELINE.json metric, alongside the reference's
+  update-RMS criterion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mgpoisson.core.rhs import initial_guess, point_charge_rhs
+from mgpoisson.core.spec import Spec
+from mgpoisson.cycle.vcycle import make_cycle
+from mgpoisson.kernels import xla as xla_ops
+
+
+@dataclasses.dataclass
+class SolveResult:
+    psi: jax.Array
+    iterations: int
+    errs: jax.Array          # stopping-metric history, length `iterations`
+    converged: bool
+    final_err: float
+
+    def __iter__(self):
+        yield self.psi
+        yield self.errs
+
+
+class MultigridPoisson:
+    """Geometric multigrid Poisson solver (TPU-native MultigridCPU/GPU,
+    `cpu.lua:15`, `gpu.lua:18`)."""
+
+    def __init__(self, spec: Spec):
+        self.spec = spec
+        self._dtype = jnp.dtype(spec.dtype)
+        cycle = make_cycle(spec)
+        h = spec.fine_h
+
+        def step(psi, f, r0):
+            """One V-cycle; err per spec.stop ('update': RMS of the
+            iterate update, `cpu.lua:203`; 'residual': ||r||/||r0||)."""
+            psi_new = cycle(psi, f, h)
+            if spec.stop == "update":
+                err = xla_ops.rms_update(psi_new, psi)
+            else:
+                err = xla_ops.residual_norm(psi_new, f, h) / r0
+            return psi_new, err
+
+        # err history dtype: match solve precision (f32 floor otherwise)
+        self._err_dtype = (jnp.float32 if self._dtype == jnp.dtype("bfloat16")
+                           else self._dtype)
+        self._step = jax.jit(step)
+        self._solve_loop = jax.jit(self._build_solve_loop(step),
+                                   donate_argnums=(0,))
+
+    # ------------------------------------------------------------ state
+
+    def rhs(self) -> jax.Array:
+        """Default point-charge RHS (`cpu.lua:182-190`)."""
+        return point_charge_rhs(self.spec.size, self.spec.ndim, self._dtype)
+
+    def init_state(self, f: Optional[jax.Array] = None) -> jax.Array:
+        """psi0 = -f (`cpu.lua:193`)."""
+        f = self.rhs() if f is None else f
+        return initial_guess(f)
+
+    # ------------------------------------------------------------- step
+
+    def step(self, psi, f):
+        """One V-cycle + error (`cpu.lua:196-206`). Returns (psi_new, err)."""
+        r0 = self._r0(psi, f)
+        return self._step(psi, f, r0)
+
+    def _r0(self, psi, f):
+        if self.spec.stop == "residual":
+            return xla_ops.residual_norm(psi, f, self.spec.fine_h)
+        return jnp.asarray(1.0, self._dtype)
+
+    def residual_norm(self, psi, f):
+        return xla_ops.residual_norm(psi, f, self.spec.fine_h)
+
+    def rel_err(self, psi, psi_old):
+        """The reference's secondary masked relative-change metric
+        (calcRelErr, `gpu.lua:173-187`)."""
+        return xla_ops.rel_err(psi, psi_old)
+
+    # ------------------------------------------------------------ solve
+
+    def _build_solve_loop(self, step):
+        spec = self.spec
+
+        def solve_loop(psi, f, r0):
+            maxiter = spec.maxiter
+            errs0 = jnp.full((maxiter,), jnp.nan, dtype=self._err_dtype)
+
+            def cond(carry):
+                psi, it, err, errs = carry
+                return (it < maxiter) & (
+                    (it == 0) | ((err >= spec.tol) & jnp.isfinite(err))
+                )
+
+            def body(carry):
+                psi, it, err, errs = carry
+                psi, err = step(psi, f, r0)
+                errs = errs.at[it].set(err.astype(self._err_dtype))
+                return psi, it + 1, err, errs
+
+            init = (psi, jnp.int32(0), jnp.asarray(jnp.inf, self._dtype),
+                    errs0)
+            psi, it, err, errs = jax.lax.while_loop(cond, body, init)
+            return psi, it, err, errs
+
+        return solve_loop
+
+    def solve(self, f: Optional[jax.Array] = None, *,
+              psi0: Optional[jax.Array] = None,
+              error_callback: Optional[Callable[[int, float], Optional[bool]]]
+              = None) -> SolveResult:
+        """Iterate V-cycles until the stopping metric drops below tol,
+        goes non-finite, or maxiter cycles run (`cpu.lua:208-216`).
+
+        error_callback(iter, err) is invoked after every cycle (1-based
+        iter, like the reference, `cpu.lua:213`); returning a truthy
+        value stops the solve — the observability hook both reference
+        harnesses consume (`test/converge-multigrid-vs-krylov.lua:23-27`).
+        """
+        f = self.rhs() if f is None else jnp.asarray(f, self._dtype)
+        psi = self.init_state(f) if psi0 is None else jnp.asarray(
+            psi0, self._dtype)
+        r0 = self._r0(psi, f)
+
+        if error_callback is None:
+            psi, it, err, errs = self._solve_loop(psi, f, r0)
+            it = int(it)
+            err_f = float(err)
+            converged = err_f < self.spec.tol and math.isfinite(err_f)
+            return SolveResult(psi=psi, iterations=it, errs=errs[:it],
+                               converged=converged, final_err=err_f)
+
+        # Host-loop path: per-cycle device->host sync, exactly the
+        # reference's control flow (`cpu.lua:211-215`).
+        errs_list = []
+        converged = False
+        it = 0
+        for it in range(1, self.spec.maxiter + 1):
+            psi, err = self._step(psi, f, r0)
+            err_f = float(err)
+            errs_list.append(err_f)
+            if error_callback(it, err_f):
+                break
+            if err_f < self.spec.tol or not math.isfinite(err_f):
+                converged = err_f < self.spec.tol
+                break
+        return SolveResult(psi=psi, iterations=it,
+                           errs=jnp.asarray(errs_list, self._err_dtype),
+                           converged=converged,
+                           final_err=errs_list[-1] if errs_list else float("inf"))

@@ -1,0 +1,134 @@
+"""Solver API tests: reference behavioral surface (`cpu.lua:173-216`)
+plus the TPU-native on-device solve loop."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgpoisson import MultigridPoisson, Spec, oracle
+
+
+def _solver(size, scheme="reference", **kw):
+    return MultigridPoisson(Spec(size=size, dtype="float64", backend="xla",
+                                 scheme=scheme, **kw))
+
+
+def test_solve_matches_oracle_iterate_for_iterate():
+    size = 16
+    mg = _solver(size, maxiter=50)
+    res = mg.solve()
+    _, oerrs = oracle.solve(size, maxiter=50, scheme="reference")
+    assert res.iterations == len(oerrs)
+    np.testing.assert_allclose(np.asarray(res.errs), oerrs, rtol=1e-8)
+
+
+def test_solve_converges_and_solves_system():
+    size = 32
+    mg = _solver(size, scheme="tuned")
+    res = mg.solve()
+    assert res.converged
+    f = mg.rhs()
+    rel = float(mg.residual_norm(res.psi, f)) / float(jnp.sqrt(jnp.sum(f * f)))
+    assert rel < 1e-8
+
+
+def test_residual_stop_criterion():
+    size = 64
+    mg = _solver(size, scheme="tuned", stop="residual")
+    res = mg.solve()
+    assert res.converged
+    # north star: <10 V-cycles to 1e-10 relative residual
+    assert res.iterations < 10
+
+
+def test_step_api():
+    size = 16
+    mg = _solver(size)
+    f = mg.rhs()
+    psi = mg.init_state(f)
+    psi1, err1 = mg.step(psi, f)
+    _, oerrs = oracle.solve(size, maxiter=1, scheme="reference")
+    np.testing.assert_allclose(float(err1), oerrs[0], rtol=1e-10)
+
+
+def test_error_callback_early_exit_and_one_based_iter():
+    size = 16
+    calls = []
+
+    def cb(it, err):
+        calls.append((it, err))
+        return it >= 3
+
+    mg = _solver(size)
+    res = mg.solve(error_callback=cb)
+    assert [c[0] for c in calls] == [1, 2, 3]
+    assert res.iterations == 3
+
+
+def test_callback_path_matches_loop_path():
+    size = 16
+    mg = _solver(size, maxiter=20)
+    res_loop = mg.solve()
+    mg2 = _solver(size, maxiter=20)
+    res_cb = mg2.solve(error_callback=lambda it, err: False)
+    assert res_loop.iterations == res_cb.iterations
+    np.testing.assert_allclose(np.asarray(res_loop.psi),
+                               np.asarray(res_cb.psi), rtol=1e-12)
+
+
+def test_maxiter_respected():
+    mg = _solver(16, maxiter=5)
+    res = mg.solve()
+    assert res.iterations == 5
+    assert not res.converged
+
+
+def test_nonfinite_stop():
+    # poison the RHS -> first error is non-finite -> loop stops at 1
+    mg = _solver(16, maxiter=100)
+    f = np.zeros((16, 16))
+    f[0, 0] = np.nan
+    res = mg.solve(jnp.asarray(f))
+    assert res.iterations == 1
+    assert not res.converged
+
+
+def test_custom_rhs_and_psi0():
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(32, 32))
+    mg = _solver(32, scheme="tuned", tol=1e-12)
+    res = mg.solve(jnp.asarray(f), psi0=jnp.zeros((32, 32)))
+    rel = float(mg.residual_norm(res.psi, jnp.asarray(f))) / np.sqrt(
+        np.sum(f * f))
+    assert rel < 1e-8
+
+
+def test_3d_solve():
+    size = 16
+    mg = MultigridPoisson(Spec(size=size, ndim=3, dtype="float64",
+                               backend="xla", scheme="tuned"))
+    res = mg.solve()
+    assert res.converged
+    f = mg.rhs()
+    rel = float(mg.residual_norm(res.psi, f)) / float(jnp.sqrt(jnp.sum(f * f)))
+    assert rel < 1e-8
+
+
+def test_f32_solve_reaches_f32_floor():
+    # f32 can't reach 1e-10 update-RMS on this problem (values ~1e6);
+    # residual-relative stopping at 1e-6 is the practical f32 target
+    mg = MultigridPoisson(Spec(size=64, dtype="float32", backend="xla",
+                               scheme="tuned", stop="residual", tol=1e-6))
+    res = mg.solve()
+    assert res.converged
+    assert res.iterations < 10
+
+
+def test_rel_err_secondary_metric():
+    mg = _solver(16)
+    f = mg.rhs()
+    psi = mg.init_state(f)
+    psi1, _ = mg.step(psi, f)
+    got = float(mg.rel_err(psi1, psi))
+    want = oracle.rel_err(np.asarray(psi1), np.asarray(psi))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
