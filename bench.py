@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: smoother effective bandwidth (GB/s) at 4096^2 f32 on one chip,
+measured as minimal HBM traffic (read u + read f + write u for the full
+fused multi-sweep smoother call) / wall time.  vs_baseline is the
+fraction of the BASELINE.md target (80% of v5e HBM roofline,
+0.8 * 819 GB/s) — >1.0 beats the target.
+
+Also reported in "extra": V-cycle wall time at 4096^2, V-cycles to
+1e-10 relative residual (north star: <10), per-op timings, and solve
+wall time.  On non-TPU hosts a reduced size keeps the harness runnable.
+
+Timing method: chained applications inside one jit (lax.scan) at two
+lengths; the difference cancels fixed dispatch/sync overhead.  A scalar
+readback forces a true device sync (block_until_ready alone does not
+synchronize through remote-relay transports).
+
+This is the TPU rebuild of the reference's wall-time harness
+(`test/test.lua:44-76`); kernel-level GB/s replaces its TODO'd OpenCL
+event timing (`test/test-gpu-obj.lua:268`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+V5E_HBM_GBPS = 819.0           # v5e HBM peak
+TARGET_FRACTION = 0.8          # BASELINE.md: >=80% of roofline
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf.ravel()[0])
+
+
+def chain_time(fn, x, k1=3, k2=13, tries=3):
+    """Per-application seconds of x -> fn(x), overhead-cancelled."""
+
+    def rep(k):
+        @jax.jit
+        def g(x):
+            def body(c, _):
+                return fn(c), None
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return c
+        return g
+
+    g1, g2 = rep(k1), rep(k2)
+    _sync(g1(x))
+    _sync(g2(x))
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        _sync(g1(x))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(g2(x))
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / (k2 - k1))
+    return best
+
+
+def main():
+    from mgpoisson import MultigridPoisson, Spec
+    from mgpoisson.kernels import get_ops
+
+    platform = jax.default_backend()
+    on_tpu = platform == "tpu"
+    size = 4096 if on_tpu else 512
+    nu = 2
+
+    spec = Spec(size=size, dtype="float32", scheme="tuned", backend="auto",
+                stop="residual", tol=1e-10, pre_smooth=nu, post_smooth=nu)
+    mg = MultigridPoisson(spec)
+    f = mg.rhs()
+    psi = mg.init_state(f)
+    h = spec.fine_h
+    ops = get_ops(spec, size)
+
+    bytes_per = jnp.dtype(spec.dtype).itemsize
+    n_cells = size * size
+
+    # --- smoother: nu fused sweeps; minimal traffic = r(u) + r(f) + w(u)
+    t_smooth = chain_time(
+        lambda u: ops.smooth(u, f, h, nu, spec.smoother_resolved, "ghost0"),
+        psi)
+    smoother_gbps = 3 * n_cells * bytes_per / t_smooth / 1e9
+
+    # --- full V-cycle
+    from mgpoisson.cycle.vcycle import v_cycle
+    t_vcycle = chain_time(lambda u: v_cycle(u, f, h, spec), psi)
+
+    # --- fused residual+restrict + prolong+correct round trip
+    t_rrpc = chain_time(
+        lambda u: ops.prolong_correct(
+            u, ops.residual_restrict(u, f, h, "ghost0"), spec.prolong_kind),
+        psi)
+
+    # --- V-cycles and wall time to 1e-10 relative residual (north star <10)
+    res = mg.solve(f)          # compile outside the timed region
+    _sync(res.psi)
+    psi0 = mg.init_state(f)
+    t0 = time.perf_counter()
+    res = mg.solve(f, psi0=psi0)
+    _sync(res.psi)
+    t_solve = time.perf_counter() - t0
+    cycles_to_tol = res.iterations if res.converged else -1
+
+    target = TARGET_FRACTION * V5E_HBM_GBPS
+    out = {
+        "metric": f"smoother_bandwidth_{size}x{size}_f32",
+        "value": round(smoother_gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(smoother_gbps / target, 4),
+        "extra": {
+            "platform": platform,
+            "size": size,
+            "smoother": spec.smoother_resolved,
+            "nu": nu,
+            "backend_fine_level": ops.__name__.split(".")[-1],
+            "smoother_time_ms": round(t_smooth * 1e3, 4),
+            "vcycle_time_ms": round(t_vcycle * 1e3, 4),
+            "rr_plus_pc_time_ms": round(t_rrpc * 1e3, 4),
+            "vcycles_to_1e-10_relres": cycles_to_tol,
+            "solve_wall_s": round(t_solve, 4),
+            "roofline_target_gbps": target,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,11 @@ from mgpoisson.kernels import get_ops
 Trace = List[Tuple[str, int, jax.Array]]
 
 
-def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace]):
-    """gamma=1 -> V-cycle, gamma=2 -> W-cycle."""
+def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
+           constrain=None):
+    """gamma=1 -> V-cycle, gamma=2 -> W-cycle.  `constrain` (from
+    mgpoisson.shard.gspmd.make_constrain) applies the level-dependent
+    sharding layout at each level transition."""
     n = u.shape[0]
     ops = get_ops(spec, n)
     bc = "ghost0" if fine_level else spec.coarse_bc
@@ -49,16 +52,20 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace]):
     rec("u_pre", u)
 
     R = ops.residual_restrict(u, f, h, bc)
+    if constrain is not None:
+        R = constrain(R)
     if trace is not None:
         rec("r", ops.residual(u, f, h, bc))
         rec("R", R)
 
     V = jnp.zeros_like(R)
     for _ in range(gamma):
-        V = _cycle(V, R, 2 * h, spec, gamma, False, trace)
+        V = _cycle(V, R, 2 * h, spec, gamma, False, trace, constrain)
     rec("V", V)
 
     u = ops.prolong_correct(u, V, spec.prolong_kind)
+    if constrain is not None:
+        u = constrain(u)
     if trace is not None:
         rec("v", ops.prolong(V, spec.prolong_kind))
         rec("u_corr", u)
@@ -68,14 +75,16 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace]):
     return u
 
 
-def v_cycle(u, f, h, spec, trace: Optional[Trace] = None):
+def v_cycle(u, f, h, spec, trace: Optional[Trace] = None, constrain=None):
     """One V-cycle — the reference's twoGrid (`cpu.lua:70-165`)."""
-    return _cycle(u, f, h, spec, gamma=1, fine_level=True, trace=trace)
+    return _cycle(u, f, h, spec, gamma=1, fine_level=True, trace=trace,
+                  constrain=constrain)
 
 
-def w_cycle(u, f, h, spec, trace: Optional[Trace] = None):
+def w_cycle(u, f, h, spec, trace: Optional[Trace] = None, constrain=None):
     """One W-cycle (two coarse-grid visits per level)."""
-    return _cycle(u, f, h, spec, gamma=2, fine_level=True, trace=trace)
+    return _cycle(u, f, h, spec, gamma=2, fine_level=True, trace=trace,
+                  constrain=constrain)
 
 
 def fmg(f, h, spec, n_vcycles: int = 1):
@@ -97,12 +106,12 @@ def fmg(f, h, spec, n_vcycles: int = 1):
     return u
 
 
-def make_cycle(spec):
+def make_cycle(spec, constrain=None):
     """Return the cycle function selected by spec.cycle, signature
     (u, f, h) -> u."""
     if spec.cycle == "v":
-        return lambda u, f, h: v_cycle(u, f, h, spec)
+        return lambda u, f, h: v_cycle(u, f, h, spec, constrain=constrain)
     if spec.cycle == "w":
-        return lambda u, f, h: w_cycle(u, f, h, spec)
+        return lambda u, f, h: w_cycle(u, f, h, spec, constrain=constrain)
     raise ValueError(f"cycle {spec.cycle!r} has no per-step form (fmg is "
                      "a one-shot solve; use mgpoisson.cycle.fmg)")

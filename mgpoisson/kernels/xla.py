@@ -98,12 +98,13 @@ def apply_operator(u: jax.Array, h, bc: str = "ghost0") -> jax.Array:
 
 def restrict(r: jax.Array) -> jax.Array:
     """2^ndim-cell average restriction, exact 1/4 / 1/8 weights
-    (reduceResidual, `gpu.lua:126-137`)."""
-    for ax in range(r.ndim):
-        n = r.shape[ax]
-        shape = r.shape[:ax] + (n // 2, 2) + r.shape[ax + 1:]
-        r = r.reshape(shape).mean(axis=ax + 1)
-    return r
+    (reduceResidual, `gpu.lua:126-137`).
+
+    reduce_window lowers to the native TPU pooling path (~22x faster
+    than reshape-mean at 4096^2, which forces lane-dim relayouts)."""
+    s = jax.lax.reduce_window(r, jnp.zeros((), r.dtype), jax.lax.add,
+                              (2,) * r.ndim, (2,) * r.ndim, "VALID")
+    return s * (0.5 ** r.ndim)
 
 
 def prolong(V: jax.Array, kind: str = "inject") -> jax.Array:
@@ -122,22 +123,29 @@ def prolong(V: jax.Array, kind: str = "inject") -> jax.Array:
             V = jnp.repeat(V, 2, axis=ax)
         return V
     assert kind == "bilinear"
+    # Separable fine-space formulation: one constant injection (a single
+    # repeat per axis, the native fast path), then per-axis blends with
+    # +-2 fine-index shifts.  For an axis-injected array Y (Y[2I] =
+    # Y[2I+1] = V[I]):  out[2I]   = 0.75*Y[2I]   + 0.25*Y[2I-2]
+    #                   out[2I+1] = 0.75*Y[2I+1] + 0.25*Y[2I+3]
+    # which is exactly 0.75*V[I] + 0.25*V[I-+1]; boundary children get
+    # 0.5*V[edge] (interpolating to zero at the cell face).  The shift
+    # blends are static-offset elementwise ops XLA fuses into one pass.
     for ax in range(nd):
+        V = jnp.repeat(V, 2, axis=ax)
+    for ax in range(nd):
+        n2 = V.shape[ax]
         sl = lambda a, b: tuple(slice(None) if i != ax else slice(a, b)
                                 for i in range(nd))
-        pad = [(0, 0)] * nd
-        pad[ax] = (1, 1)
-        Vp = jnp.pad(V, pad)
-        lo = 0.25 * Vp[sl(0, -2)] + 0.75 * Vp[sl(1, -1)]
-        hi = 0.75 * Vp[sl(1, -1)] + 0.25 * Vp[sl(2, None)]
-        first = tuple(slice(None) if i != ax else slice(0, 1)
-                      for i in range(nd))
-        last = tuple(slice(None) if i != ax else slice(-1, None)
-                     for i in range(nd))
-        lo = lo.at[first].set(0.5 * V[first])
-        hi = hi.at[last].set(0.5 * V[last])
-        st = jnp.stack([lo, hi], axis=ax + 1)
-        V = st.reshape(V.shape[:ax] + (2 * V.shape[ax],) + V.shape[ax + 1:])
+        pad_lo = [(0, 0)] * nd
+        pad_lo[ax] = (2, 0)
+        pad_hi = [(0, 0)] * nd
+        pad_hi[ax] = (0, 2)
+        Ym = jnp.pad(V, pad_lo)[sl(0, -2)]   # shift +2 (Y[i-2])
+        Yp = jnp.pad(V, pad_hi)[sl(2, None)]  # shift -2 (Y[i+2])
+        idx = jax.lax.broadcasted_iota(jnp.int32, V.shape, ax)
+        out = 0.75 * V + 0.25 * jnp.where(idx % 2 == 0, Ym, Yp)
+        V = jnp.where((idx == 0) | (idx == n2 - 1), 0.5 * V, out)
     return V
 
 

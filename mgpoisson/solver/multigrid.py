@@ -51,15 +51,29 @@ class MultigridPoisson:
     """Geometric multigrid Poisson solver (TPU-native MultigridCPU/GPU,
     `cpu.lua:15`, `gpu.lua:18`)."""
 
-    def __init__(self, spec: Spec):
+    def __init__(self, spec: Spec, mesh=None):
+        """mesh: optional jax.sharding.Mesh (or set spec.mesh_shape) for
+        2D-block domain-decomposed execution with level-dependent
+        replication (see mgpoisson.shard)."""
         self.spec = spec
         self._dtype = jnp.dtype(spec.dtype)
-        cycle = make_cycle(spec)
+        self.mesh = mesh
+        constrain = None
+        if mesh is None and spec.mesh_shape is not None:
+            from mgpoisson.shard.mesh import build_mesh
+            self.mesh = build_mesh(spec.mesh_shape)
+        if self.mesh is not None:
+            from mgpoisson.shard.gspmd import make_constrain
+            constrain = make_constrain(self.mesh, spec)
+        self._constrain = constrain
+        cycle = make_cycle(spec, constrain=constrain)
         h = spec.fine_h
 
         def step(psi, f, r0):
             """One V-cycle; err per spec.stop ('update': RMS of the
             iterate update, `cpu.lua:203`; 'residual': ||r||/||r0||)."""
+            if constrain is not None:
+                psi, f = constrain(psi), constrain(f)
             psi_new = cycle(psi, f, h)
             if spec.stop == "update":
                 err = xla_ops.rms_update(psi_new, psi)
@@ -70,6 +84,7 @@ class MultigridPoisson:
         # err history dtype: match solve precision (f32 floor otherwise)
         self._err_dtype = (jnp.float32 if self._dtype == jnp.dtype("bfloat16")
                            else self._dtype)
+        self._step_fn = step  # unjitted, for embedding in larger programs
         self._step = jax.jit(step)
         self._solve_loop = jax.jit(self._build_solve_loop(step),
                                    donate_argnums=(0,))

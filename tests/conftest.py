@@ -10,7 +10,7 @@ Must run before any jax import, hence module-level env mutation here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon site hook pins JAX_PLATFORMS=axon before conftest runs; the
+# config update below takes precedence as long as no backend has been
+# initialized yet
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
