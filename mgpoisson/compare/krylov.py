@@ -1,0 +1,194 @@
+"""Matrix-free Krylov solvers — the independent solver family the
+reference compares multigrid against (`test/converge-multigrid-vs-krylov.lua`).
+
+The reference drives its author's `solver.*` Lua library with a
+matrix-free 5-point Laplacian closure and zero-ghost BCs (`:46-58`),
+running conjugate gradients (enabled) plus conjres / bicgstab / gmres
+(present but commented out, `:31-36`).  Agreement between two unrelated
+algorithm families is the correctness gate (SURVEY.md section 4.3).
+
+Here: CG, conjugate residual (CR), and BiCGStab, all matrix-free
+against the same `apply_operator` the multigrid path uses, fully
+on-device via lax.while_loop.  The operator A = del^2 (zero-ghost) is
+negative definite, so CG/CR run on (-A)u = (-f) internally — same
+solution, SPD iteration.
+
+Reference semantics kept:
+- x0 = -f (`:44`, mirroring psi0 = -f)
+- per-iteration errorCallback(err, iter) hook (`:59-67`)
+- iterate until ||r||^2 / ||b||^2 < tol^2 (the `solver.*` convention)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mgpoisson.kernels import xla
+
+
+@dataclasses.dataclass
+class KrylovResult:
+    x: jax.Array
+    iterations: int
+    converged: bool
+    residuals: jax.Array   # ||r||/||b|| history, length `iterations`
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+def poisson_operator(h: float, bc: str = "ghost0") -> Callable:
+    """The same matrix-free operator the reference harness builds
+    (`test/converge-multigrid-vs-krylov.lua:46-58`)."""
+    return lambda u: xla.apply_operator(u, h, bc)
+
+
+def _run_loop(body, init, maxiter, tol, bnorm, rnorm0):
+    """Shared while_loop driver; carry = (state..., it, rnorm, hist)."""
+
+    def cond(carry):
+        *_, it, rnorm, _hist = carry
+        return (it < maxiter) & (rnorm > tol * bnorm) & jnp.isfinite(rnorm)
+
+    def wrapped(carry):
+        *state, it, rnorm, hist = carry
+        state, rnorm = body(state)
+        hist = hist.at[it].set((rnorm / bnorm).astype(hist.dtype))
+        return (*state, it + 1, rnorm, hist)
+
+    hist0 = jnp.full((maxiter,), jnp.nan, dtype=rnorm0.dtype)
+    carry = jax.lax.while_loop(cond, wrapped, (*init, jnp.int32(0),
+                                               rnorm0, hist0))
+    *state, it, rnorm, hist = carry
+    return state, it, rnorm, hist
+
+
+def cg(A: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
+       tol: float = 1e-10, maxiter: int = 10000,
+       error_callback=None) -> KrylovResult:
+    """Conjugate gradients on the (negated, SPD) Poisson system."""
+    # negate so the operator is SPD (A itself is negative definite)
+    An = lambda u: -A(u)
+    bn = -b
+    x = -b if x0 is None else x0      # reference: x = -f (`:44`)
+    return _krylov_common("cg", An, bn, x, tol, maxiter, error_callback)
+
+
+def conjugate_residual(A, b, x0=None, *, tol=1e-10, maxiter=10000,
+                       error_callback=None) -> KrylovResult:
+    An = lambda u: -A(u)
+    return _krylov_common("cr", An, -b, -b if x0 is None else x0,
+                          tol, maxiter, error_callback)
+
+
+def bicgstab(A, b, x0=None, *, tol=1e-10, maxiter=10000,
+             error_callback=None) -> KrylovResult:
+    # BiCGStab does not need SPD; run on A directly
+    return _krylov_common("bicgstab", A, b, -b if x0 is None else x0,
+                          tol, maxiter, error_callback)
+
+
+def _krylov_common(kind, A, b, x0, tol, maxiter, error_callback):
+    x0 = jnp.asarray(x0)
+    b = jnp.asarray(b, x0.dtype)
+    bnorm = jnp.sqrt(_dot(b, b))
+
+    solve = _LOOPS[kind]
+    x, it, rnorm, hist = solve(A, b, x0, tol, maxiter)
+    it = int(it)
+    res = KrylovResult(x=x, iterations=it,
+                       converged=bool(rnorm <= tol * bnorm),
+                       residuals=hist[:it])
+    if error_callback is not None:
+        # replay the recorded history through the reference-style hook
+        for k, r in enumerate(res.residuals, start=1):
+            if error_callback(k, float(r)):
+                break
+    return res
+
+
+def _cg_loop(A, b, x0, tol, maxiter):
+    r0 = b - A(x0)
+    p0 = r0
+
+    def body(state):
+        x, r, p, rs = state
+        Ap = A(p)
+        alpha = rs / _dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = _dot(r, r)
+        p = r + (rs_new / rs) * p
+        return (x, r, p, rs_new), jnp.sqrt(rs_new)
+
+    bnorm = jnp.sqrt(_dot(b, b))
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    (x, *_), it, rnorm, hist = _run_loop(body, (x0, r0, p0, _dot(r0, r0)),
+                                         maxiter, tol, bnorm, rnorm0)
+    return x, it, rnorm, hist
+
+
+def _cr_loop(A, b, x0, tol, maxiter):
+    r0 = b - A(x0)
+    p0 = r0
+    Ar0 = A(r0)
+    Ap0 = Ar0
+
+    def body(state):
+        x, r, p, Ar, Ap, rAr = state
+        alpha = rAr / _dot(Ap, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        Ar = A(r)
+        rAr_new = _dot(r, Ar)
+        beta = rAr_new / rAr
+        p = r + beta * p
+        Ap = Ar + beta * Ap
+        return (x, r, p, Ar, Ap, rAr_new), jnp.sqrt(_dot(r, r))
+
+    bnorm = jnp.sqrt(_dot(b, b))
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    (x, *_), it, rnorm, hist = _run_loop(
+        body, (x0, r0, p0, Ar0, Ap0, _dot(r0, Ar0)), maxiter, tol, bnorm,
+        rnorm0)
+    return x, it, rnorm, hist
+
+
+def _bicgstab_loop(A, b, x0, tol, maxiter):
+    r0 = b - A(x0)
+    rhat = r0
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega = state
+        rho_new = _dot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        v = A(p)
+        alpha = rho_new / _dot(rhat, v)
+        s = r - alpha * v
+        t = A(s)
+        omega = _dot(t, s) / _dot(t, t)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega), jnp.sqrt(_dot(r, r))
+
+    one = jnp.asarray(1.0, x0.dtype)
+    bnorm = jnp.sqrt(_dot(b, b))
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    (x, *_), it, rnorm, hist = _run_loop(
+        body, (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one),
+        maxiter, tol, bnorm, rnorm0)
+    return x, it, rnorm, hist
+
+
+_LOOPS = {
+    "cg": jax.jit(_cg_loop, static_argnums=(0, 3, 4)),
+    "cr": jax.jit(_cr_loop, static_argnums=(0, 3, 4)),
+    "bicgstab": jax.jit(_bicgstab_loop, static_argnums=(0, 3, 4)),
+}

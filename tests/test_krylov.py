@@ -1,0 +1,96 @@
+"""Krylov solver tests + the multigrid-vs-Krylov agreement gate
+(the reference's primary correctness mechanism,
+`test/converge-multigrid-vs-krylov.lua`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgpoisson import MultigridPoisson, Spec, oracle
+from mgpoisson.compare import krylov
+
+
+def _dense_solve(size):
+    """Direct dense solve of the zero-ghost 5-point system (independent
+    ground truth for small grids)."""
+    h = 1.0 / size
+    N = size * size
+    A = np.zeros((N, N))
+    for i in range(size):
+        for j in range(size):
+            k = i * size + j
+            A[k, k] = -4.0 / h**2
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < size and 0 <= jj < size:
+                    A[k, ii * size + jj] = 1.0 / h**2
+    f = oracle.point_charge_rhs(size).ravel()
+    return np.linalg.solve(A, f).reshape(size, size)
+
+
+@pytest.mark.parametrize("solver", ["cg", "cr", "bicgstab"])
+def test_krylov_matches_dense_solve(solver):
+    size = 8
+    exact = _dense_solve(size)
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    A = krylov.poisson_operator(1.0 / size)
+    fn = {"cg": krylov.cg, "cr": krylov.conjugate_residual,
+          "bicgstab": krylov.bicgstab}[solver]
+    res = fn(A, f, tol=1e-12, maxiter=2000)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), exact, rtol=1e-6,
+                               atol=1e-6 * np.abs(exact).max())
+
+
+def test_cg_residual_history_decreases():
+    size = 16
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    res = krylov.cg(krylov.poisson_operator(1.0 / size), f, tol=1e-10)
+    hist = np.asarray(res.residuals)
+    assert hist[-1] < 1e-10
+    assert hist[-1] < hist[0]
+
+
+def test_multigrid_vs_cg_agreement_gate():
+    # the reference's gate: two unrelated algorithm families agree
+    for size in (16, 32):
+        spec = Spec(size=size, dtype="float64", scheme="tuned",
+                    tol=1e-12, backend="xla")
+        mg_res = MultigridPoisson(spec).solve()
+        f = jnp.asarray(oracle.point_charge_rhs(size))
+        cg_res = krylov.cg(krylov.poisson_operator(1.0 / size), f, tol=1e-12)
+        scale = np.abs(np.asarray(mg_res.psi)).max()
+        d = np.abs(np.asarray(cg_res.x) - np.asarray(mg_res.psi)).max()
+        assert d / scale < 1e-8, f"size {size}: mg vs cg diff {d / scale:.2e}"
+
+
+def test_multigrid_beats_cg_iteration_count():
+    # the point of multigrid (demonstrated by the reference study):
+    # O(1) cycles vs CG's O(size) iterations
+    size = 64
+    spec = Spec(size=size, dtype="float64", scheme="tuned",
+                stop="residual", tol=1e-10, backend="xla")
+    mg_res = MultigridPoisson(spec).solve()
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    cg_res = krylov.cg(krylov.poisson_operator(1.0 / size), f, tol=1e-10)
+    assert mg_res.iterations < cg_res.iterations / 5
+
+
+def test_error_callback_replay():
+    size = 16
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    seen = []
+    krylov.cg(krylov.poisson_operator(1.0 / size), f, tol=1e-10,
+              error_callback=lambda it, err: seen.append((it, err)) or False)
+    assert seen and seen[0][0] == 1
+    assert seen[-1][1] < 1e-10
+
+
+def test_converge_study_runs(tmp_path):
+    from mgpoisson.bench import converge
+    study = converge.run_study(16, scheme="tuned", solvers=["cg"],
+                               epsilon=1e-10)
+    converge.write_outputs(study, str(tmp_path))
+    assert (tmp_path / "16.txt").exists()
+    d = np.abs(study["krylov"]["cg"]["psi"] - study["psi_mg"]).max()
+    assert d / np.abs(study["psi_mg"]).max() < 1e-6
