@@ -79,6 +79,10 @@ class Spec:
         (`cpu.lua:76-94`).
       mesh_shape: device mesh shape for sharded execution (None = single
         device).
+      partition: how sharded execution is expressed — 'gspmd' (layout
+        constraints per level; XLA's SPMD partitioner inserts the halo
+        collectives) or 'spmd' (explicit shard_map with hand-written
+        ppermute halo exchange, mgpoisson.shard.spmd).
       replicate_below: level side at or below which sharded execution
         switches to replicated arrays (the cpuDepth handoff reborn:
         coarse grids are collective-latency-bound; `test/test.lua:42`
@@ -101,6 +105,7 @@ class Spec:
     pallas_min_size: int = 256
     coarse_size: int = 1
     mesh_shape: Optional[Tuple[int, ...]] = None
+    partition: str = "gspmd"
     replicate_below: int = 64
 
     def __post_init__(self):
@@ -118,6 +123,11 @@ class Spec:
             raise ValueError(f"unknown stop criterion {self.stop!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.partition not in ("gspmd", "spmd"):
+            raise ValueError(f"unknown partition {self.partition!r}")
+        if self.partition == "spmd" and self.ndim != 2:
+            raise ValueError("partition='spmd' supports ndim=2 only "
+                             "(use 'gspmd' for 3D)")
         if not _is_pow2(self.coarse_size) or self.coarse_size > self.size:
             raise ValueError(f"bad coarse_size {self.coarse_size}")
         if self.dtype not in ("float32", "float64", "bfloat16"):

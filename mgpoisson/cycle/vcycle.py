@@ -107,11 +107,11 @@ def fmg(f, h, spec, n_vcycles: int = 1):
 
 
 def make_cycle(spec, constrain=None):
-    """Return the cycle function selected by spec.cycle, signature
-    (u, f, h) -> u."""
-    if spec.cycle == "v":
+    """Return the per-step cycle function selected by spec.cycle,
+    signature (u, f, h) -> u.  'fmg' iterates V-cycles after the FMG
+    initialization pass the solver applies (see MultigridPoisson)."""
+    if spec.cycle in ("v", "fmg"):
         return lambda u, f, h: v_cycle(u, f, h, spec, constrain=constrain)
     if spec.cycle == "w":
         return lambda u, f, h: w_cycle(u, f, h, spec, constrain=constrain)
-    raise ValueError(f"cycle {spec.cycle!r} has no per-step form (fmg is "
-                     "a one-shot solve; use mgpoisson.cycle.fmg)")
+    raise ValueError(f"unknown cycle {spec.cycle!r}")

@@ -66,20 +66,31 @@ class MultigridPoisson:
             from mgpoisson.shard.gspmd import make_constrain
             constrain = make_constrain(self.mesh, spec)
         self._constrain = constrain
-        cycle = make_cycle(spec, constrain=constrain)
         h = spec.fine_h
 
-        def step(psi, f, r0):
-            """One V-cycle; err per spec.stop ('update': RMS of the
-            iterate update, `cpu.lua:203`; 'residual': ||r||/||r0||)."""
-            if constrain is not None:
-                psi, f = constrain(psi), constrain(f)
-            psi_new = cycle(psi, f, h)
-            if spec.stop == "update":
-                err = xla_ops.rms_update(psi_new, psi)
-            else:
-                err = xla_ops.residual_norm(psi_new, f, h) / r0
-            return psi_new, err
+        if self.mesh is not None and spec.partition == "spmd":
+            # explicit shard_map + ppermute path (mgpoisson.shard.spmd)
+            from mgpoisson.shard.spmd import build_spmd_step
+            spmd_step, _ = build_spmd_step(spec, self.mesh)
+
+            def step(psi, f, r0):
+                psi_new, err_upd, rn = spmd_step(psi, f)
+                err = err_upd if spec.stop == "update" else rn / r0
+                return psi_new, err
+        else:
+            cycle = make_cycle(spec, constrain=constrain)
+
+            def step(psi, f, r0):
+                """One V-cycle; err per spec.stop ('update': RMS of the
+                iterate update, `cpu.lua:203`; 'residual': ||r||/||r0||)."""
+                if constrain is not None:
+                    psi, f = constrain(psi), constrain(f)
+                psi_new = cycle(psi, f, h)
+                if spec.stop == "update":
+                    err = xla_ops.rms_update(psi_new, psi)
+                else:
+                    err = xla_ops.residual_norm(psi_new, f, h) / r0
+                return psi_new, err
 
         # err history dtype: match solve precision (f32 floor otherwise)
         self._err_dtype = (jnp.float32 if self._dtype == jnp.dtype("bfloat16")
@@ -96,8 +107,14 @@ class MultigridPoisson:
         return point_charge_rhs(self.spec.size, self.spec.ndim, self._dtype)
 
     def init_state(self, f: Optional[jax.Array] = None) -> jax.Array:
-        """psi0 = -f (`cpu.lua:193`)."""
+        """psi0 = -f (`cpu.lua:193`); with spec.cycle='fmg', a full
+        multigrid pass supplies the initial iterate instead (reaches
+        discretization accuracy in one O(N) sweep, then the V-cycle
+        loop polishes)."""
         f = self.rhs() if f is None else f
+        if self.spec.cycle == "fmg":
+            from mgpoisson.cycle.vcycle import fmg
+            return jax.jit(lambda f: fmg(f, self.spec.fine_h, self.spec))(f)
         return initial_guess(f)
 
     # ------------------------------------------------------------- step

@@ -91,3 +91,38 @@ def test_fine_level_actually_sharded():
     psi, _ = mg.step(mg.init_state(f), f)
     shardings = {tuple(s.data.shape) for s in psi.addressable_shards}
     assert shardings == {(16, 32)}  # 64/4 x 64/2
+
+
+# ---------------------------------------------------------------- spmd path
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (8, 1)])
+@pytest.mark.parametrize("scheme", ["tuned", "reference"])
+def test_spmd_step_matches_single_device(mesh_shape, scheme):
+    spec1 = Spec(size=64, dtype="float64", backend="xla", scheme=scheme)
+    specN = spec1.with_(mesh_shape=mesh_shape, partition="spmd",
+                        replicate_below=8)
+    mg1 = MultigridPoisson(spec1)
+    mgN = MultigridPoisson(specN)
+    f = mg1.rhs()
+    psi = mg1.init_state(f)
+    psi1, err1 = mg1.step(psi, f)
+    psiN, errN = mgN.step(psi, f)
+    np.testing.assert_allclose(np.asarray(psiN), np.asarray(psi1),
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(float(errN), float(err1), rtol=1e-12)
+
+
+def test_spmd_solve_matches_gspmd():
+    base = Spec(size=64, dtype="float64", backend="xla", scheme="tuned",
+                stop="residual", tol=1e-10, replicate_below=8,
+                mesh_shape=(4, 2))
+    res_g = MultigridPoisson(base).solve()
+    res_s = MultigridPoisson(base.with_(partition="spmd")).solve()
+    assert res_g.iterations == res_s.iterations
+    np.testing.assert_allclose(np.asarray(res_s.psi), np.asarray(res_g.psi),
+                               rtol=1e-10, atol=1e-8)
+
+
+def test_spmd_requires_2d():
+    with pytest.raises(ValueError):
+        Spec(size=32, ndim=3, partition="spmd")
