@@ -38,8 +38,10 @@ def _sync(out):
     float(leaf.ravel()[0])
 
 
-def chain_time(fn, x, k1=3, k2=13, tries=3):
-    """Per-application seconds of x -> fn(x), overhead-cancelled."""
+def chain_time(fn, x, k1=10, k2=60, tries=5):
+    """Per-application seconds of x -> fn(x): median of chain-length
+    time differences — cancels fixed sync overhead without the downward
+    bias a best-of on noisy differences would have."""
 
     def rep(k):
         @jax.jit
@@ -53,7 +55,7 @@ def chain_time(fn, x, k1=3, k2=13, tries=3):
     g1, g2 = rep(k1), rep(k2)
     _sync(g1(x))
     _sync(g2(x))
-    best = float("inf")
+    samples = []
     for _ in range(tries):
         t0 = time.perf_counter()
         _sync(g1(x))
@@ -61,8 +63,9 @@ def chain_time(fn, x, k1=3, k2=13, tries=3):
         t0 = time.perf_counter()
         _sync(g2(x))
         t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (k2 - k1))
-    return best
+        samples.append((t2 - t1) / (k2 - k1))
+    samples.sort()
+    return samples[len(samples) // 2]
 
 
 def main():

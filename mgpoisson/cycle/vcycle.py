@@ -48,29 +48,35 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
         rec("u", u)
         return u
 
-    u = ops.smooth(u, f, h, spec.nu_pre, smoother, bc)
-    rec("u_pre", u)
-
-    R = ops.residual_restrict(u, f, h, bc)
-    if constrain is not None:
-        R = constrain(R)
     if trace is not None:
+        # granular path with per-stage snapshots (the reference's debug
+        # dump mode, `cpu-raw.lua:126-140`)
+        u = ops.smooth(u, f, h, spec.nu_pre, smoother, bc)
+        rec("u_pre", u)
+        R = ops.residual_restrict(u, f, h, bc)
         rec("r", ops.residual(u, f, h, bc))
         rec("R", R)
+    else:
+        u, R = ops.smooth_residual_restrict(u, f, h, spec.nu_pre,
+                                            smoother, bc)
+    if constrain is not None:
+        R = constrain(R)
 
     V = jnp.zeros_like(R)
     for _ in range(gamma):
         V = _cycle(V, R, 2 * h, spec, gamma, False, trace, constrain)
     rec("V", V)
 
-    u = ops.prolong_correct(u, V, spec.prolong_kind)
-    if constrain is not None:
-        u = constrain(u)
     if trace is not None:
+        u = ops.prolong_correct(u, V, spec.prolong_kind)
         rec("v", ops.prolong(V, spec.prolong_kind))
         rec("u_corr", u)
-
-    u = ops.smooth(u, f, h, spec.nu_post, smoother, bc)
+        u = ops.smooth(u, f, h, spec.nu_post, smoother, bc)
+    else:
+        u = ops.prolong_correct_smooth(u, f, V, h, spec.nu_post,
+                                       smoother, bc, spec.prolong_kind)
+    if constrain is not None:
+        u = constrain(u)
     rec("u_post", u)
     return u
 

@@ -123,30 +123,58 @@ def prolong(V: jax.Array, kind: str = "inject") -> jax.Array:
             V = jnp.repeat(V, 2, axis=ax)
         return V
     assert kind == "bilinear"
-    # Separable fine-space formulation: one constant injection (a single
-    # repeat per axis, the native fast path), then per-axis blends with
-    # +-2 fine-index shifts.  For an axis-injected array Y (Y[2I] =
-    # Y[2I+1] = V[I]):  out[2I]   = 0.75*Y[2I]   + 0.25*Y[2I-2]
-    #                   out[2I+1] = 0.75*Y[2I+1] + 0.25*Y[2I+3]
-    # which is exactly 0.75*V[I] + 0.25*V[I-+1]; boundary children get
-    # 0.5*V[edge] (interpolating to zero at the cell face).  The shift
-    # blends are static-offset elementwise ops XLA fuses into one pass.
+    # Fine-space formulation on the injected array R = inject(V): per
+    # axis, out = a*R + b*S(R) with S the parity-dependent +-2 shift
+    # (S R[2I] = R[2I-2] = V[I-1], S R[2I+1] = R[2I+3] = V[I+1]), and
+    # per-index weights a/b = (0.75, 0.25) interior, (0.5, 0) at the
+    # global edges (interpolating to zero at the cell face).  Expanding
+    # the axis product gives ONE fused elementwise pass over R with
+    # 3^nd static-offset taps — the same shape as the neighbor-sum
+    # stencil XLA runs near the HBM roofline (a sequential per-axis
+    # blend materializes the intermediate each time: ~2.5x slower).
     for ax in range(nd):
         V = jnp.repeat(V, 2, axis=ax)
-    for ax in range(nd):
-        n2 = V.shape[ax]
+    R = V
+
+    def shifted(x, ax):
+        """Parity-dependent +-2 shift along ax with zero fill."""
         sl = lambda a, b: tuple(slice(None) if i != ax else slice(a, b)
                                 for i in range(nd))
         pad_lo = [(0, 0)] * nd
         pad_lo[ax] = (2, 0)
         pad_hi = [(0, 0)] * nd
         pad_hi[ax] = (0, 2)
-        Ym = jnp.pad(V, pad_lo)[sl(0, -2)]   # shift +2 (Y[i-2])
-        Yp = jnp.pad(V, pad_hi)[sl(2, None)]  # shift -2 (Y[i+2])
-        idx = jax.lax.broadcasted_iota(jnp.int32, V.shape, ax)
-        out = 0.75 * V + 0.25 * jnp.where(idx % 2 == 0, Ym, Yp)
-        V = jnp.where((idx == 0) | (idx == n2 - 1), 0.5 * V, out)
-    return V
+        xm = jnp.pad(x, pad_lo)[sl(0, -2)]
+        xp = jnp.pad(x, pad_hi)[sl(2, None)]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+        return jnp.where(idx % 2 == 0, xm, xp)
+
+    def weights(ax):
+        n2 = R.shape[ax]
+        shape = [1] * nd
+        shape[ax] = n2
+        idx = jax.lax.iota(jnp.int32, n2).reshape(shape)
+        bdry = (idx == 0) | (idx == n2 - 1)
+        a = jnp.where(bdry, 0.5, 0.75).astype(R.dtype)
+        b = jnp.where(bdry, 0.0, 0.25).astype(R.dtype)
+        return a, b
+
+    # accumulate the 3^nd-tap expansion: for each subset of axes the
+    # term is prod(a or b) * (composed shifts)(R)
+    out = None
+    import itertools
+    ws = [weights(ax) for ax in range(nd)]
+    for picks in itertools.product((0, 1), repeat=nd):
+        term = R
+        w = None
+        for ax, p in enumerate(picks):
+            if p:
+                term = shifted(term, ax)
+            wax = ws[ax][p]
+            w = wax if w is None else w * wax
+        t = w * term
+        out = t if out is None else out + t
+    return out
 
 
 def prolong_correct(u: jax.Array, V: jax.Array, kind: str = "inject") -> jax.Array:
@@ -170,6 +198,23 @@ def coarse_solve(u: jax.Array, f: jax.Array, h, smoother: str = "jacobi",
     if bc == "face" and u.shape[0] == 1:
         return f * (h * h) / (-4.0 * u.ndim)
     return _SWEEPS[smoother](u, f, h, bc)
+
+
+# ------------------------------------------------- composite (fused) ops
+# One call per V-cycle half-level; the Pallas backend overrides these
+# with single-kernel versions.
+
+def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
+    """pre-smooth x nu, then R = restrict(residual). Returns (u, R)."""
+    u = smooth(u, f, h, nu, smoother, bc)
+    return u, residual_restrict(u, f, h, bc)
+
+
+def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
+                           kind="inject"):
+    """u += P(V), then post-smooth x nu."""
+    u = prolong_correct(u, V, kind)
+    return smooth(u, f, h, nu, smoother, bc)
 
 
 # ------------------------------------------------------------------- metrics
