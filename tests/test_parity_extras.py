@@ -1,0 +1,89 @@
+"""Parity extras: h-spacing convention (the cl.obj variant), bfloat16,
+W-cycle scheme coverage, hardcoded-iteration reproduction, and the
+determinism gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgpoisson import MultigridPoisson, Spec, oracle
+
+
+def test_h_convention_cl_obj_variant():
+    # test-gpu-obj.lua uses h = 1/(size+1) (`:252`) unlike the others'
+    # 1/size; Spec(h=...) reproduces it and changes the solution scale
+    size = 32
+    s1 = Spec(size=size, dtype="float64", backend="xla", scheme="tuned",
+              tol=1e-12)
+    s2 = s1.with_(h=1.0 / (size + 1))
+    r1 = MultigridPoisson(s1).solve()
+    r2 = MultigridPoisson(s2).solve()
+    assert r1.converged and r2.converged
+    ratio = float(jnp.max(r2.psi) / jnp.max(r1.psi))
+    # u scales like h^2 for the same RHS
+    expected = (size / (size + 1.0)) ** 2
+    assert abs(ratio - expected) < 1e-3
+    # oracle with the same convention agrees
+    psi_o, _ = oracle.solve(size, scheme="tuned", h=1.0 / (size + 1),
+                            tol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2.psi), psi_o, rtol=1e-6,
+                               atol=1e-6 * np.abs(psi_o).max())
+
+
+def test_maxiter_2_reproduces_hardcoded_runs():
+    # cpu-raw.lua:245 and gpu.lua:357 hardcode exactly 2 outer
+    # iterations; maxiter=2 is the faithful reproduction
+    mg = MultigridPoisson(Spec(size=16, dtype="float64", backend="xla",
+                               scheme="reference", maxiter=2))
+    res = mg.solve()
+    assert res.iterations == 2
+    _, oerrs = oracle.solve(16, scheme="reference", maxiter=2)
+    np.testing.assert_allclose(np.asarray(res.errs), oerrs, rtol=1e-8)
+
+
+def test_bfloat16_runs_and_reduces_residual():
+    spec = Spec(size=64, dtype="bfloat16", backend="xla", scheme="tuned",
+                stop="residual", tol=1e-2, maxiter=20)
+    mg = MultigridPoisson(spec)
+    res = mg.solve()
+    assert res.psi.dtype == jnp.bfloat16
+    assert res.converged
+
+
+def test_determinism_same_input_same_bits():
+    # SURVEY.md section 5: red-black GS removes the GS race by
+    # construction; same seed => identical bits
+    spec = Spec(size=64, dtype="float32", backend="xla", scheme="tuned",
+                maxiter=4)
+    a = MultigridPoisson(spec).solve()
+    b = MultigridPoisson(spec).solve()
+    assert (np.asarray(a.psi) == np.asarray(b.psi)).all()
+
+
+def test_wcycle_solver_mode():
+    spec = Spec(size=64, dtype="float64", backend="xla", scheme="tuned",
+                cycle="w", stop="residual", tol=1e-10)
+    res = MultigridPoisson(spec).solve()
+    assert res.converged
+    assert res.iterations < 10
+
+
+@pytest.mark.parametrize("scheme", ["reference", "tuned"])
+def test_3d_stage_trace_matches_oracle(scheme):
+    from mgpoisson.cycle.vcycle import v_cycle
+    size = 16
+    spec = Spec(size=size, ndim=3, dtype="float64", backend="xla",
+                scheme=scheme)
+    f = oracle.point_charge_rhs(size, ndim=3)
+    jtrace, otrace = [], []
+    v_cycle(jnp.asarray(-f), jnp.asarray(f), 1.0 / size, spec, trace=jtrace)
+    oracle.v_cycle(-f, f, 1.0 / size, pre_smooth=spec.nu_pre,
+                   post_smooth=spec.nu_post,
+                   smoother=spec.smoother_resolved, scheme=scheme,
+                   trace=otrace)
+    assert [(n, s) for n, s, _ in jtrace] == [(n, s) for n, s, _ in otrace]
+    for (name, lsize, oarr), (_, _, jarr) in zip(otrace, jtrace):
+        np.testing.assert_allclose(np.asarray(jarr), oarr, rtol=1e-9,
+                                   atol=1e-7,
+                                   err_msg=f"3D stage {name} at {lsize}")
