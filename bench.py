@@ -104,6 +104,15 @@ def main():
             u, ops.residual_restrict(u, f, h, "ghost0"), spec.prolong_kind),
         psi)
 
+    # --- 3D (BASELINE config 4): 256^3 V-cycle, 7-point Laplacian
+    size3 = 256 if on_tpu else 64
+    spec3 = Spec(size=size3, ndim=3, dtype="float32", scheme="tuned",
+                 backend="xla", pre_smooth=nu, post_smooth=nu)
+    f3 = jnp.zeros((size3,) * 3, jnp.float32).at[
+        (size3 // 2,) * 3].set(-1e6)
+    t_vcycle3 = chain_time(
+        lambda u: v_cycle(u, f3, spec3.fine_h, spec3), -f3)
+
     # --- V-cycles and wall time to 1e-10 relative residual (north star <10)
     res = mg.solve(f)          # compile outside the timed region
     _sync(res.psi)
@@ -129,6 +138,8 @@ def main():
             "smoother_time_ms": round(t_smooth * 1e3, 4),
             "vcycle_time_ms": round(t_vcycle * 1e3, 4),
             "rr_plus_pc_time_ms": round(t_rrpc * 1e3, 4),
+            "vcycle3d_time_ms": round(t_vcycle3 * 1e3, 4),
+            "size3d": size3,
             "vcycles_to_1e-10_relres": cycles_to_tol,
             "solve_wall_s": round(t_solve, 4),
             "roofline_target_gbps": target,

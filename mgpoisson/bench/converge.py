@@ -56,7 +56,7 @@ def run_study(size: int, scheme: str = "reference",
            "psi_mg": psi_mg, "krylov": {}}
     for name in solvers:
         fn = {"cg": krylov.cg, "cr": krylov.conjugate_residual,
-              "bicgstab": krylov.bicgstab}[name]
+              "bicgstab": krylov.bicgstab, "gmres": krylov.gmres}[name]
         kres = fn(A, f, tol=epsilon, maxiter=50 * size)
         out["krylov"][name] = {
             "iterations": kres.iterations,

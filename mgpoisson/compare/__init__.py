@@ -1,3 +1,3 @@
-from mgpoisson.compare.krylov import cg, bicgstab, conjugate_residual
+from mgpoisson.compare.krylov import cg, bicgstab, conjugate_residual, gmres
 
-__all__ = ["cg", "bicgstab", "conjugate_residual"]
+__all__ = ["cg", "bicgstab", "conjugate_residual", "gmres"]

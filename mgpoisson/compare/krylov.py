@@ -27,6 +27,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mgpoisson.kernels import xla
 
@@ -185,6 +186,108 @@ def _bicgstab_loop(A, b, x0, tol, maxiter):
         body, (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one),
         maxiter, tol, bnorm, rnorm0)
     return x, it, rnorm, hist
+
+
+def gmres(A, b, x0=None, *, tol=1e-10, maxiter=10000, restart=100,
+          error_callback=None) -> KrylovResult:
+    """Restarted GMRES(m).  The reference's solver table carries
+    `restart = 100` for its (commented-out) gmres entry
+    (`test/converge-multigrid-vs-krylov.lua:41`)."""
+    x0 = -b if x0 is None else x0
+    x0 = jnp.asarray(x0)
+    b = jnp.asarray(b, x0.dtype)
+    bnorm = float(jnp.sqrt(_dot(b, b)))
+    shape = b.shape
+
+    def flat_A(v):
+        return A(v.reshape(shape)).ravel()
+
+    x = x0.ravel()
+    bf = b.ravel()
+    residuals = []
+    it = 0
+    converged = False
+    while it < maxiter and not converged:
+        x, rnorms = _gmres_cycle(flat_A, bf, x, restart)
+        for rn in np.asarray(rnorms):
+            it += 1
+            rel = float(rn) / bnorm
+            residuals.append(rel)
+            if error_callback is not None and error_callback(it, rel):
+                converged = True
+                break
+            if rel < tol or not np.isfinite(rel):
+                converged = rel < tol
+                break
+            if it >= maxiter:
+                break
+    return KrylovResult(x=x.reshape(shape), iterations=it,
+                        converged=converged,
+                        residuals=jnp.asarray(residuals))
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _gmres_cycle(A, b, x0, m):
+    """One GMRES(m) cycle via Arnoldi + Givens rotations; returns the
+    updated iterate and the m per-step residual norms."""
+    n = x0.shape[0]
+    dtype = x0.dtype
+    r0 = b - A(x0)
+    beta = jnp.sqrt(jnp.sum(r0 * r0))
+    Q = jnp.zeros((m + 1, n), dtype).at[0].set(r0 / jnp.maximum(beta, 1e-300))
+    H = jnp.zeros((m + 1, m), dtype)
+    cs = jnp.zeros((m,), dtype)
+    sn = jnp.zeros((m,), dtype)
+    g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+    rnorms = jnp.zeros((m,), dtype)
+
+    def body(k, carry):
+        Q, H, cs, sn, g, rnorms = carry
+        w = A(Q[k])
+        # modified Gram-Schmidt against all m+1 rows (rows > k are zero)
+        def mgs(j, wh):
+            w, hcol = wh
+            hj = jnp.where(j <= k, jnp.sum(w * Q[j]), 0.0)
+            return w - hj * Q[j], hcol.at[j].set(hj)
+
+        w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                    (w, jnp.zeros((m + 1,), dtype)))
+        hk1 = jnp.sqrt(jnp.sum(w * w))
+        hcol = hcol.at[k + 1].set(hk1)
+        Q = Q.at[k + 1].set(w / jnp.maximum(hk1, 1e-300))
+
+        # apply previous Givens rotations to the new column
+        def rot(j, hc):
+            hj = jnp.where(j < k, cs[j] * hc[j] + sn[j] * hc[j + 1], hc[j])
+            hj1 = jnp.where(j < k, -sn[j] * hc[j] + cs[j] * hc[j + 1],
+                            hc[j + 1])
+            return hc.at[j].set(hj).at[j + 1].set(hj1)
+
+        hcol = jax.lax.fori_loop(0, m, rot, hcol)
+        denom = jnp.sqrt(hcol[k] ** 2 + hcol[k + 1] ** 2)
+        ck = hcol[k] / jnp.maximum(denom, 1e-300)
+        sk = hcol[k + 1] / jnp.maximum(denom, 1e-300)
+        hcol = hcol.at[k].set(denom).at[k + 1].set(0.0)
+        cs = cs.at[k].set(ck)
+        sn = sn.at[k].set(sk)
+        gk = g[k]
+        g = g.at[k].set(ck * gk).at[k + 1].set(-sk * gk)
+        H = H.at[:, k].set(hcol)
+        rnorms = rnorms.at[k].set(jnp.abs(g[k + 1]))
+        return Q, H, cs, sn, g, rnorms
+
+    Q, H, cs, sn, g, rnorms = jax.lax.fori_loop(
+        0, m, body, (Q, H, cs, sn, g, rnorms))
+
+    # back-substitute H y = g (upper triangular after the rotations)
+    def back(i, y):
+        k = m - 1 - i
+        s = g[k] - jnp.sum(H[k, :] * y)
+        return y.at[k].set(s / jnp.where(H[k, k] != 0, H[k, k], 1.0))
+
+    y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype))
+    x = x0 + Q[:m].T @ y
+    return x, rnorms
 
 
 _LOOPS = {

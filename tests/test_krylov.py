@@ -94,3 +94,25 @@ def test_converge_study_runs(tmp_path):
     assert (tmp_path / "16.txt").exists()
     d = np.abs(study["krylov"]["cg"]["psi"] - study["psi_mg"]).max()
     assert d / np.abs(study["psi_mg"]).max() < 1e-6
+
+
+def test_gmres_matches_dense_solve():
+    size = 8
+    exact = _dense_solve(size)
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    res = krylov.gmres(krylov.poisson_operator(1.0 / size), f, tol=1e-12,
+                       maxiter=500, restart=40)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), exact, rtol=1e-6,
+                               atol=1e-6 * np.abs(exact).max())
+
+
+def test_gmres_restart_and_callback():
+    size = 16
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    seen = []
+    res = krylov.gmres(krylov.poisson_operator(1.0 / size), f, tol=1e-10,
+                       maxiter=400, restart=25,
+                       error_callback=lambda it, e: seen.append(it) or False)
+    assert res.converged
+    assert seen == list(range(1, res.iterations + 1))
