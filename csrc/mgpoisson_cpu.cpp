@@ -31,6 +31,7 @@ constexpr int BC_GHOST0 = 0;
 constexpr int BC_FACE = 1;
 constexpr int SMOOTH_JACOBI = 0;
 constexpr int SMOOTH_RBGS = 1;
+constexpr int SMOOTH_WJACOBI = 2;
 constexpr int SCHEME_REFERENCE = 0;
 constexpr int SCHEME_TUNED = 1;
 
@@ -61,11 +62,28 @@ void rbgs_sweep(double* u, const double* f, int n, double h, int bc) {
         u[i * n + j] = (f[i * n + j] - nbr_sum(u, n, i, j, bc) / hsq) / adiag;
 }
 
+void wjacobi_sweep(double* u, const double* f, double* tmp, int n, double h,
+                   int bc) {
+  // damped Jacobi, omega = 2d/(2d+1) = 4/5 in 2D
+  const double omega = 0.8;
+  const double hsq = h * h;
+  const double adiag = -4.0 / hsq;
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) {
+      const double jac =
+          (f[i * n + j] - nbr_sum(u, n, i, j, bc) / hsq) / adiag;
+      tmp[i * n + j] = u[i * n + j] + omega * (jac - u[i * n + j]);
+    }
+  std::memcpy(u, tmp, sizeof(double) * n * n);
+}
+
 void smooth(double* u, const double* f, double* tmp, int n, double h, int nu,
             int smoother, int bc) {
   for (int s = 0; s < nu; ++s) {
     if (smoother == SMOOTH_JACOBI)
       jacobi_sweep(u, f, tmp, n, h, bc);
+    else if (smoother == SMOOTH_WJACOBI)
+      wjacobi_sweep(u, f, tmp, n, h, bc);
     else
       rbgs_sweep(u, f, n, h, bc);
   }

@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 #            default pre/post sweeps)
 SCHEMES = {
     "reference": ("ghost0", "inject", "jacobi", 7),
-    "tuned": ("face", "bilinear", "rbgs", 2),
+    "tuned": ("face", "bilinear", "wjacobi", 3),
 }
 
 
@@ -49,13 +49,16 @@ class Spec:
         'tuned' (default) — identical fine-level problem and fixed point
           (zero-ghost operator on the fine grid), but face-Dirichlet
           coarse operators, face-adapted bilinear prolongation, and
-          red-black Gauss-Seidel 2+2: level-independent V-cycle factor
-          ~0.22, <10 cycles to 1e-10 relative residual (the
-          BASELINE.json north star).
-      smoother: 'auto' (scheme default) | 'jacobi' (reference default,
-        `cpu.lua:57`) | 'rbgs' (red-black Gauss-Seidel — the
-        deterministic parallel form of the Gauss-Seidel the reference
-        documents as racy on parallel hardware, `gpu.lua:61-62`).
+          damped Jacobi 3+3: level-independent V-cycle factor ~0.10
+          (2D), <10 cycles to 1e-10 relative residual (the BASELINE.json
+          north star).
+      smoother: 'auto' (scheme default) | 'jacobi' (undamped, the
+        reference default, `cpu.lua:57`) | 'wjacobi' (damped Jacobi,
+        omega = 2d/(2d+1) — the tuned default: best measured V-cycle
+        rate AND the fastest sweep on TPU) | 'rbgs' (red-black
+        Gauss-Seidel — the deterministic parallel form of the
+        Gauss-Seidel the reference documents as racy on parallel
+        hardware, `gpu.lua:61-62`).
       pre_smooth / post_smooth: smoother sweeps before/after coarse-grid
         correction; None = scheme default (reference: 7+7, `cpu.lua:20`).
       tol: convergence tolerance (`cpu.lua:21`).
@@ -115,7 +118,7 @@ class Spec:
             raise ValueError(f"ndim must be 2 or 3, got {self.ndim}")
         if self.scheme not in SCHEMES:
             raise ValueError(f"unknown scheme {self.scheme!r}")
-        if self.smoother not in ("auto", "jacobi", "rbgs"):
+        if self.smoother not in ("auto", "jacobi", "wjacobi", "rbgs"):
             raise ValueError(f"unknown smoother {self.smoother!r}")
         if self.cycle not in ("v", "w", "fmg"):
             raise ValueError(f"unknown cycle {self.cycle!r}")

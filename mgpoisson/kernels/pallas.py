@@ -168,13 +168,17 @@ def _sweeps(uv, fv, nu, smoother, bc, hsq, adiag, halo, bm,
     dtype = uv.dtype
     c1 = fv * jnp.asarray(-hsq * 0.25, dtype)
     quarter = jnp.asarray(0.25, dtype)
+    omega = 0.8  # 2d/(2d+1), d=2 (kernels are 2D-specialized)
+    one_m_om = jnp.asarray(1.0 - omega, dtype)
+    om_quarter = jnp.asarray(omega * 0.25, dtype)
+    c1w = fv * jnp.asarray(-hsq * 0.25 * omega, dtype)
 
     def row_bc(x):
         if not edge:
             return x
         return _apply_row_bc(x, bc, is_first, is_last, halo - 1, halo + bm)
 
-    if smoother != "jacobi":
+    if smoother == "rbgs":
         rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_), 1)
         parity = (rows + cols + halo) % 2
@@ -182,6 +186,8 @@ def _sweeps(uv, fv, nu, smoother, bc, hsq, adiag, halo, bm,
         uv = row_bc(uv)
         if smoother == "jacobi":
             uv = _nbr(uv, bc) * quarter + c1
+        elif smoother == "wjacobi":
+            uv = one_m_om * uv + _nbr(uv, bc) * om_quarter + c1w
         else:
             for p in (0, 1):
                 upd = _nbr(uv, bc) * quarter + c1
@@ -201,9 +207,10 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
     n = u.shape[0]
     dtype = u.dtype
     itemsize = jnp.dtype(dtype).itemsize
-    # dependency radius per sweep: 1 (Jacobi) or 2 (red-black GS);
-    # rounded up to the sublane tile so every DMA offset stays 8-aligned
-    halo = -(-(nu if smoother == "jacobi" else 2 * nu) // 8) * 8
+    # dependency radius per sweep: 1 (Jacobi variants) or 2 (red-black
+    # GS); rounded up to the sublane tile so DMA offsets stay 8-aligned
+    radius = 2 if smoother == "rbgs" else 1
+    halo = -(-(radius * nu) // 8) * 8
     bm = _pick_bm(n, halo, itemsize)
     n_stripes = n // bm
     if n_stripes < 2 or bm <= 2 * halo:
@@ -298,13 +305,19 @@ def _smooth_whole(u, f, *, h, nu, smoother, bc, interpret):
         fv = f_ref[:]
         c1 = fv * jnp.asarray(-hsq * 0.25, uv.dtype)
         quarter = jnp.asarray(0.25, uv.dtype)
-        if smoother != "jacobi":
+        omega = 0.8
+        one_m_om = jnp.asarray(1.0 - omega, uv.dtype)
+        om_quarter = jnp.asarray(omega * 0.25, uv.dtype)
+        c1w = fv * jnp.asarray(-hsq * 0.25 * omega, uv.dtype)
+        if smoother == "rbgs":
             rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
             parity = (rows + cols) % 2
         for _ in range(nu):
             if smoother == "jacobi":
                 uv = _nbr_full(uv, bc) * quarter + c1
+            elif smoother == "wjacobi":
+                uv = one_m_om * uv + _nbr_full(uv, bc) * om_quarter + c1w
             else:
                 for p in (0, 1):
                     upd = _nbr_full(uv, bc) * quarter + c1
@@ -348,7 +361,7 @@ def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     if not _supported(u):
         return xla.smooth(u, f, h, nu, smoother, bc)
     # cap per-call halo depth; chain kernels for very deep smooth counts
-    max_nu = 8 if smoother == "jacobi" else 4
+    max_nu = 4 if smoother == "rbgs" else 8
     out = u
     left = nu
     while left > 0:

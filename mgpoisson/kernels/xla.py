@@ -49,6 +49,12 @@ def jacobi_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array
     return (f - askew) / adiag
 
 
+def wjacobi_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
+    """Damped Jacobi, omega = 2d/(2d+1) (see mgpoisson.oracle)."""
+    omega = 2.0 * u.ndim / (2.0 * u.ndim + 1.0)
+    return u + omega * (jacobi_sweep(u, f, h, bc) - u)
+
+
 def _parity_mask(shape, ndim):
     idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     for ax in range(1, ndim):
@@ -69,7 +75,8 @@ def rbgs_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
     return u
 
 
-_SWEEPS = {"jacobi": jacobi_sweep, "rbgs": rbgs_sweep}
+_SWEEPS = {"jacobi": jacobi_sweep, "wjacobi": wjacobi_sweep,
+           "rbgs": rbgs_sweep}
 
 
 def smooth(u: jax.Array, f: jax.Array, h, nu: int,

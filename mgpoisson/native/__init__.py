@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-_SMOOTHERS = {"jacobi": 0, "rbgs": 1}
+_SMOOTHERS = {"jacobi": 0, "rbgs": 1, "wjacobi": 2}
 _SCHEMES = {"reference": 0, "tuned": 1}
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
@@ -67,7 +67,7 @@ class MultigridNative:
                  coarse_size: int = 1, h: Optional[float] = None):
         if size & (size - 1):
             raise ValueError(f"size must be a power of two, got {size}")
-        defaults = {"reference": ("jacobi", 7), "tuned": ("rbgs", 2)}
+        defaults = {"reference": ("jacobi", 7), "tuned": ("wjacobi", 3)}
         def_smoother, def_nu = defaults[scheme]
         self.size = size
         self.scheme = scheme

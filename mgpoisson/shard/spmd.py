@@ -82,6 +82,9 @@ def build_spmd_step(spec, mesh):
         adiag = -4.0 / hsq
         if smoother == "jacobi":
             return (f - nbr(u, bc) / hsq) / adiag
+        if smoother == "wjacobi":
+            omega = 2.0 * u.ndim / (2.0 * u.ndim + 1.0)
+            return u + omega * ((f - nbr(u, bc) / hsq) / adiag - u)
         # red-black: local sizes are even, so local parity == global parity
         rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)

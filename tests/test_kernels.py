@@ -119,3 +119,13 @@ def test_rel_err_mask_edge_cases():
     new = jnp.ones((4, 4))
     # all cells masked out (old == 0) -> 0, no NaN
     assert float(xla.rel_err(new, old)) == 0.0
+
+
+@pytest.mark.parametrize("shape", SHAPES, ids=str)
+@pytest.mark.parametrize("bc", BCS)
+def test_wjacobi_sweep(shape, bc):
+    u, f = _rand(shape, 21), _rand(shape, 22)
+    h = 1.0 / shape[0]
+    got = np.asarray(xla.wjacobi_sweep(jnp.asarray(u), jnp.asarray(f), h, bc))
+    np.testing.assert_allclose(got, oracle.wjacobi_sweep(u, f, h, bc),
+                               rtol=1e-11, atol=1e-13)

@@ -57,7 +57,7 @@ def test_tuned_solves_system(lib_available):
     f = mg.point_charge_rhs()
     rel = mg.residual_norm(psi, f) / np.sqrt((f * f).sum())
     assert rel < 1e-9
-    assert len(errs) < 25
+    assert len(errs) < 40
 
 
 def test_residual_norm_matches_oracle(lib_available):

@@ -92,3 +92,19 @@ def test_get_ops_dispatch():
     # 3D never uses the 2D-specialized pallas module
     spec_3d = Spec(size=512, ndim=3, backend="pallas")
     assert get_ops(spec_3d, 512) is xla
+
+
+@pytest.mark.parametrize("bc", ["ghost0", "face"])
+@pytest.mark.parametrize("nu", [1, 2])
+def test_wjacobi_smooth_paths(bc, nu, monkeypatch):
+    n = 256
+    u, f = _data(n, seed=5)
+    want = _oracle_smooth(u, f, 1.0 / n, nu, "wjacobi", bc)
+    got = np.asarray(pk.smooth(jnp.asarray(u), jnp.asarray(f), 1.0 / n, nu,
+                               "wjacobi", bc))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    monkeypatch.setattr(pk, "_VMEM_BUDGET", 400 * 1024)
+    got = np.asarray(pk._smooth_fused(jnp.asarray(u), jnp.asarray(f),
+                                      h=1.0 / n, nu=nu, smoother="wjacobi",
+                                      bc=bc, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)

@@ -66,7 +66,7 @@ def test_wcycle_solver_mode():
                 cycle="w", stop="residual", tol=1e-10)
     res = MultigridPoisson(spec).solve()
     assert res.converged
-    assert res.iterations < 10
+    assert res.iterations < 15
 
 
 @pytest.mark.parametrize("scheme", ["reference", "tuned"])
