@@ -138,6 +138,11 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(smoother_gbps / target, 4),
         "extra": {
+            "metric_note": ("per-sweep effective = nu*3 arrays of useful "
+                            "work / fused-kernel time; scales with the "
+                            "scheme's nu by design — the physical "
+                            "single-round-trip number is "
+                            "smoother_min_traffic_gbps"),
             "platform": platform,
             "size": size,
             "smoother": spec.smoother_resolved,

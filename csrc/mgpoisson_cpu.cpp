@@ -84,8 +84,10 @@ void smooth(double* u, const double* f, double* tmp, int n, double h, int nu,
       jacobi_sweep(u, f, tmp, n, h, bc);
     else if (smoother == SMOOTH_WJACOBI)
       wjacobi_sweep(u, f, tmp, n, h, bc);
-    else
+    else if (smoother == SMOOTH_RBGS)
       rbgs_sweep(u, f, n, h, bc);
+    // unknown ids are rejected at the ABI boundary (mg_abi_version
+    // gate in the Python bindings + explicit dispatch here)
   }
 }
 
@@ -206,6 +208,10 @@ void v_cycle(double* u, const double* f, int n, double h, int nu_pre,
 }  // namespace
 
 extern "C" {
+
+// bumped whenever the ABI or smoother/scheme id tables change; the
+// Python bindings refuse to load a mismatched prebuilt library
+int mg_abi_version(void) { return 2; }
 
 void mg_point_charge_rhs(double* f, int n) {
   std::memset(f, 0, sizeof(double) * (size_t)n * n);

@@ -54,8 +54,10 @@ class Spec:
           north star).
       smoother: 'auto' (scheme default) | 'jacobi' (undamped, the
         reference default, `cpu.lua:57`) | 'wjacobi' (damped Jacobi,
-        omega = 2d/(2d+1) — the tuned default: best measured V-cycle
-        rate AND the fastest sweep on TPU) | 'rbgs' (red-black
+        omega = 2d/(2d+1) — the tuned default: the cheapest sweep on the
+        VPU with a level-independent rate (~0.10 at 3+3); prefer 'rbgs'
+        to minimize cycle COUNT on spike-dominated starts — it needs
+        fewer cycles but each sweep costs ~2x) | 'rbgs' (red-black
         Gauss-Seidel — the deterministic parallel form of the
         Gauss-Seidel the reference documents as racy on parallel
         hardware, `gpu.lua:61-62`).

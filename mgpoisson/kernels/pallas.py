@@ -200,18 +200,24 @@ def _sweeps(uv, fv, nu, smoother, bc, hsq, adiag, halo, bm,
 # fused multi-sweep smoother
 # =====================================================================
 
-@functools.partial(
-    jax.jit, static_argnames=("h", "nu", "smoother", "bc", "interpret"))
-def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
-                  interpret: bool):
-    n = u.shape[0]
-    dtype = u.dtype
-    itemsize = jnp.dtype(dtype).itemsize
-    # dependency radius per sweep: 1 (Jacobi variants) or 2 (red-black
-    # GS); rounded up to the sublane tile so DMA offsets stay 8-aligned
+def _smooth_plan(n, nu, smoother, itemsize):
+    """Stripe geometry: (halo, bm).  The dependency radius per sweep is
+    1 (Jacobi variants) or 2 (red-black GS); halo rounds up to the
+    sublane tile so DMA offsets stay 8-aligned.  Computed OUTSIDE the
+    jitted kernel so that geometry (and the _VMEM_BUDGET it reads) is
+    part of the jit cache key."""
     radius = 2 if smoother == "rbgs" else 1
     halo = -(-(radius * nu) // 8) * 8
-    bm = _pick_bm(n, halo, itemsize)
+    return halo, _pick_bm(n, halo, itemsize)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret", "halo", "bm"))
+def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
+                  interpret: bool, halo: int, bm: int):
+    n = u.shape[0]
+    dtype = u.dtype
     n_stripes = n // bm
     if n_stripes < 2 or bm <= 2 * halo:
         # whole array fits (or stripes degenerate): single-block kernel
@@ -364,10 +370,12 @@ def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     max_nu = 4 if smoother == "rbgs" else 8
     out = u
     left = nu
+    itemsize = jnp.dtype(u.dtype).itemsize
     while left > 0:
         k = min(left, max_nu)
+        halo, bm = _smooth_plan(u.shape[0], k, smoother, itemsize)
         out = _smooth_fused(out, f, h=float(h), nu=k, smoother=smoother,
-                            bc=bc, interpret=_interpret())
+                            bc=bc, interpret=_interpret(), halo=halo, bm=bm)
         left -= k
     return out
 

@@ -25,14 +25,24 @@ _LIB_PATH = os.path.join(_CSRC, "libmgpoisson_cpu.so")
 _lib = None
 
 
+_ABI_VERSION = 2
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _CSRC], check=True,
-                       capture_output=True)
+    # always invoke make: a no-op when fresh, and rebuilds a stale .so
+    # left by an older source tree (which would otherwise silently run
+    # different numerics)
+    subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
+    lib.mg_abi_version.restype = ctypes.c_int
+    got = lib.mg_abi_version()
+    if got != _ABI_VERSION:
+        raise RuntimeError(
+            f"libmgpoisson_cpu.so ABI {got} != expected {_ABI_VERSION}; "
+            f"run 'make -C {_CSRC} clean' and retry")
     dptr = ctypes.POINTER(ctypes.c_double)
     lib.mg_point_charge_rhs.argtypes = [dptr, ctypes.c_int]
     lib.mg_v_cycle.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_double,

@@ -24,9 +24,10 @@ Two schemes are encoded:
   solution), but coarse levels use face-Dirichlet rediscretized
   operators (ghost = -u, boundary at the cell face — the boundary
   location no longer moves with the level), face-adapted bilinear
-  prolongation, and red-black Gauss-Seidel smoothing.  Level-independent
-  V-cycle factor ~0.22 (nu=2+2): <10 cycles to 1e-10 relative residual,
-  the BASELINE.json north star.
+  prolongation, and damped-Jacobi smoothing (red-black GS also
+  available).  Level-independent V-cycle factors: wjacobi ~0.12 (2+2) /
+  ~0.10 (3+3), rbgs ~0.22 (2+2): <10 cycles to 1e-10 relative residual
+  at the north-star 4096^2 config.
 
 Reference semantics reproduced (file:line cites into /root/reference):
 - 5-point (2D) / 7-point (3D) Laplacian, zero-ghost: OOB neighbors read

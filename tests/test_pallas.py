@@ -54,9 +54,12 @@ def test_smooth_striped_path(smoother, bc, nu, monkeypatch):
     monkeypatch.setattr(pk, "_VMEM_BUDGET", 400 * 1024)
     n = 256
     u, f = _data(n, seed=1)
+    halo, bm = pk._smooth_plan(n, nu, smoother, 4)
+    assert n // bm >= 2, "budget did not force striping"
     got = np.asarray(pk._smooth_fused(jnp.asarray(u), jnp.asarray(f),
                                       h=1.0 / n, nu=nu, smoother=smoother,
-                                      bc=bc, interpret=True))
+                                      bc=bc, interpret=True,
+                                      halo=halo, bm=bm))
     want = _oracle_smooth(u, f, 1.0 / n, nu, smoother, bc)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
@@ -104,7 +107,10 @@ def test_wjacobi_smooth_paths(bc, nu, monkeypatch):
                                "wjacobi", bc))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
     monkeypatch.setattr(pk, "_VMEM_BUDGET", 400 * 1024)
+    halo, bm = pk._smooth_plan(n, nu, "wjacobi", 4)
+    assert n // bm >= 2, "budget did not force striping"
     got = np.asarray(pk._smooth_fused(jnp.asarray(u), jnp.asarray(f),
                                       h=1.0 / n, nu=nu, smoother="wjacobi",
-                                      bc=bc, interpret=True))
+                                      bc=bc, interpret=True,
+                                      halo=halo, bm=bm))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
