@@ -79,13 +79,13 @@ def _pick_bm(n: int, halo: int, itemsize: int, n_bufs: int = 5) -> int:
 
 # ------------------------------------------------------- in-VMEM stencils
 
-def _nbr(u, bc: str, face_cols: bool = True):
+def _nbr(u, bc: str):
     """Neighbor sum on a (R, C) value; column BC applied inline, row BC
     is the caller's job (halo rows / per-sweep fixups)."""
     zrow = jnp.zeros_like(u[:1, :])
     up = jnp.concatenate([zrow, u[:-1, :]], axis=0)
     dn = jnp.concatenate([u[1:, :], zrow], axis=0)
-    if bc == "face" and face_cols:
+    if bc == "face":
         lf = jnp.concatenate([-u[:, :1], u[:, :-1]], axis=1)
         rt = jnp.concatenate([u[:, 1:], -u[:, -1:]], axis=1)
     else:

@@ -25,8 +25,6 @@ mesh, with the communication written out explicitly —
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -192,6 +192,39 @@ class MultigridPoisson:
 
         # Host-loop path: per-cycle device->host sync, exactly the
         # reference's control flow (`cpu.lua:211-215`).
+        return self._solve_host_loop(psi, f, r0, error_callback)
+
+    def solve_batched(self, fs, *, cycles: Optional[int] = None):
+        """Solve a batch of right-hand sides with one compiled program
+        (vmapped V-cycles; a serving-style API the reference's
+        imperative buffers could not express).
+
+        fs: (batch, *spec.shape).  cycles: V-cycles to run (default:
+        iterate until the worst per-element stopping metric is below
+        spec.tol, up to spec.maxiter).  Returns (psis, errs) with errs
+        of shape (batch,) holding each element's final metric.
+        """
+        fs = jnp.asarray(fs, self._dtype)
+        psis = initial_guess(fs)
+        if self.spec.stop == "residual":
+            r0s = jax.vmap(lambda p, f: xla_ops.residual_norm(
+                p, f, self.spec.fine_h))(psis, fs)
+        else:
+            r0s = jnp.ones((fs.shape[0],), self._dtype)
+        step_b = jax.jit(jax.vmap(self._step_fn))
+        if cycles is not None:
+            for _ in range(cycles):
+                psis, errs = step_b(psis, fs, r0s)
+            return psis, errs
+        errs = jnp.full((fs.shape[0],), jnp.inf, self._dtype)
+        for _ in range(self.spec.maxiter):
+            psis, errs = step_b(psis, fs, r0s)
+            worst = float(jnp.max(errs))
+            if worst < self.spec.tol or not math.isfinite(worst):
+                break
+        return psis, errs
+
+    def _solve_host_loop(self, psi, f, r0, error_callback):
         errs_list = []
         converged = False
         it = 0

@@ -94,3 +94,27 @@ def test_jvp_matches_linear_operator():
     # linear map: jvp == run(df)
     np.testing.assert_allclose(np.asarray(tangent), np.asarray(run(df)),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_solve_batched_api():
+    spec = _spec(size=32, stop="residual", tol=1e-9)
+    mg = MultigridPoisson(spec)
+    rng = np.random.default_rng(1)
+    fs = jnp.asarray(rng.normal(size=(3, 32, 32)))
+    psis, errs = mg.solve_batched(fs)
+    assert psis.shape == (3, 32, 32)
+    assert float(jnp.max(errs)) < 1e-9
+    # agrees with per-element solves
+    for k in range(3):
+        res = mg.solve(fs[k])
+        np.testing.assert_allclose(np.asarray(psis[k]), np.asarray(res.psi),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_solve_batched_fixed_cycles():
+    spec = _spec(size=16)
+    mg = MultigridPoisson(spec)
+    fs = jnp.stack([jnp.asarray(oracle.point_charge_rhs(16))] * 2)
+    psis, errs = mg.solve_batched(fs, cycles=4)
+    np.testing.assert_allclose(np.asarray(psis[0]), np.asarray(psis[1]))
+    assert errs.shape == (2,)
