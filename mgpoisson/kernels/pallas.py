@@ -219,10 +219,7 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
     n = u.shape[0]
     dtype = u.dtype
     n_stripes = n // bm
-    if n_stripes < 2 or bm <= 2 * halo:
-        # whole array fits (or stripes degenerate): single-block kernel
-        return _smooth_whole(u, f, h=h, nu=nu, smoother=smoother, bc=bc,
-                             interpret=interpret)
+    assert n_stripes >= 2 and bm > 2 * halo, "caller picks the variant"
     R = bm + 2 * halo
     hsq = h * h
     adiag = -4.0 / hsq
@@ -370,12 +367,26 @@ def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     max_nu = 4 if smoother == "rbgs" else 8
     out = u
     left = nu
+    n = u.shape[0]
     itemsize = jnp.dtype(u.dtype).itemsize
     while left > 0:
         k = min(left, max_nu)
-        halo, bm = _smooth_plan(u.shape[0], k, smoother, itemsize)
-        out = _smooth_fused(out, f, h=float(h), nu=k, smoother=smoother,
-                            bc=bc, interpret=_interpret(), halo=halo, bm=bm)
+        halo, bm = _smooth_plan(n, k, smoother, itemsize)
+        if n // bm < 2 or bm <= 2 * halo:
+            # striping degenerates: either the whole array fits VMEM
+            # (small levels) or the rows are too wide for any stripe
+            # budget (very large n) — then the XLA sweeps, which are
+            # already near-roofline per sweep, take over
+            if 4 * n * n * itemsize <= _VMEM_BUDGET:
+                out = _smooth_whole(out, f, h=float(h), nu=k,
+                                    smoother=smoother, bc=bc,
+                                    interpret=_interpret())
+            else:
+                return xla.smooth(out, f, h, left, smoother, bc)
+        else:
+            out = _smooth_fused(out, f, h=float(h), nu=k,
+                                smoother=smoother, bc=bc,
+                                interpret=_interpret(), halo=halo, bm=bm)
         left -= k
     return out
 
