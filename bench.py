@@ -35,39 +35,7 @@ V5E_HBM_GBPS = 819.0           # v5e HBM peak
 TARGET_FRACTION = 0.8          # BASELINE.md: >=80% of roofline
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    float(leaf.ravel()[0])
-
-
-def chain_time(fn, x, k1=10, k2=60, tries=5):
-    """Per-application seconds of x -> fn(x): median of chain-length
-    time differences — cancels fixed sync overhead without the downward
-    bias a best-of on noisy differences would have."""
-
-    def rep(k):
-        @jax.jit
-        def g(x):
-            def body(c, _):
-                return fn(c), None
-            c, _ = jax.lax.scan(body, x, None, length=k)
-            return c
-        return g
-
-    g1, g2 = rep(k1), rep(k2)
-    _sync(g1(x))
-    _sync(g2(x))
-    samples = []
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        _sync(g1(x))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(g2(x))
-        t2 = time.perf_counter() - t0
-        samples.append((t2 - t1) / (k2 - k1))
-    samples.sort()
-    return samples[len(samples) // 2]
+from mgpoisson.bench.timing import chain_time, sync as _sync
 
 
 def main():

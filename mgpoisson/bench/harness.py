@@ -72,36 +72,16 @@ def _time_variant(variant: str, size: int, cycles: int, tries: int) -> float:
     f = jnp.zeros((size, size), jnp.float32).at[size // 2, size // 2].set(-1e6)
     h = 1.0 / size
 
-    def rep(k):
-        @jax.jit
-        def run(u):
-            def body(c, _):
-                return v_cycle(c, f, h, spec), None
-            c, _ = jax.lax.scan(body, u, None, length=k)
-            return c
-        return run
+    from mgpoisson.bench.timing import chain_time
 
-    def sync(x):
-        float(x.ravel()[0])
-
-    # delta method: two chain lengths cancel the fixed dispatch/sync
-    # overhead (25+ ms through relay transports — see bench.py).  The
-    # chain-length difference scales inversely with grid area so the
-    # measured work (~100-300 ms) dominates sync jitter at every size.
+    # the chain-length difference scales inversely with grid area so the
+    # measured work (~100-300 ms) dominates sync jitter at every size
     delta = max(40, min(4000, (4096 // size) ** 2 * 40))
-    k1, k2 = 10, 10 + delta
-    r1, r2 = rep(k1), rep(k2)
-    sync(r1(-f))
-    sync(r2(-f))
     best = float("inf")
     for _ in range(tries):
-        t0 = time.perf_counter()
-        sync(r1(-f))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sync(r2(-f))
-        t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (k2 - k1))
+        t = chain_time(lambda c: v_cycle(c, f, h, spec), -f,
+                       k1=10, k2=10 + delta, tries=1)
+        best = min(best, t)
     return best
 
 

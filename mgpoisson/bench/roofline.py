@@ -12,43 +12,13 @@ Usage: python -m mgpoisson.bench.roofline [--size 4096] [--dtype float32]
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
 
+from mgpoisson.bench.timing import chain_time
+
 HBM_PEAK_GBPS = {"tpu": 819.0}     # v5e; extend per platform as needed
-
-
-def _sync(o):
-    float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
-
-
-def chain_time(fn, x, k1=10, k2=60, tries=5):
-    """Median of per-application time differences between two chain
-    lengths — cancels fixed sync overhead without the downward bias a
-    best-of on noisy differences would have."""
-    def rep(k):
-        @jax.jit
-        def g(x):
-            c, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None,
-                                length=k)
-            return c
-        return g
-    g1, g2 = rep(k1), rep(k2)
-    _sync(g1(x))
-    _sync(g2(x))
-    samples = []
-    for _ in range(tries):
-        t0 = time.perf_counter()
-        _sync(g1(x))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(g2(x))
-        t2 = time.perf_counter() - t0
-        samples.append((t2 - t1) / (k2 - k1))
-    samples.sort()
-    return samples[len(samples) // 2]
 
 
 def report(size: int = 4096, dtype: str = "float32", nu: int = 2):

@@ -34,8 +34,8 @@ from mgpoisson.kernels import xla
 
 
 def build_spmd_step(spec, mesh):
-    """Return step(psi, f) -> (psi_new, rms_update_err) with the whole
-    V-cycle inside one shard_map."""
+    """Return step(psi, f) -> (psi_new, rms_update_err, residual_norm)
+    with the whole V-cycle inside one shard_map."""
     mx = mesh.shape["x"]
     my = mesh.shape["y"]
     h0 = spec.fine_h
@@ -178,16 +178,8 @@ def build_spmd_step(spec, mesh):
         rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
         return psi_new, err_upd, rn
 
-    def resnorm_local(psi, f):
-        r = residual(psi, f, h0, "ghost0")
-        return jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
-
     pspec = P("x", "y")
-    step = jax.shard_map(step_local, mesh=mesh,
+    return jax.shard_map(step_local, mesh=mesh,
                          in_specs=(pspec, pspec),
                          out_specs=(pspec, P(), P()),
                          check_vma=False)
-    resnorm = jax.shard_map(resnorm_local, mesh=mesh,
-                            in_specs=(pspec, pspec), out_specs=P(),
-                            check_vma=False)
-    return step, resnorm

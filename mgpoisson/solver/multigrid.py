@@ -65,13 +65,12 @@ class MultigridPoisson:
         if self.mesh is not None:
             from mgpoisson.shard.gspmd import make_constrain
             constrain = make_constrain(self.mesh, spec)
-        self._constrain = constrain
         h = spec.fine_h
 
         if self.mesh is not None and spec.partition == "spmd":
             # explicit shard_map + ppermute path (mgpoisson.shard.spmd)
             from mgpoisson.shard.spmd import build_spmd_step
-            spmd_step, _ = build_spmd_step(spec, self.mesh)
+            spmd_step = build_spmd_step(spec, self.mesh)
 
             def step(psi, f, r0):
                 psi_new, err_upd, rn = spmd_step(psi, f)
@@ -99,6 +98,8 @@ class MultigridPoisson:
         self._step = jax.jit(step)
         self._solve_loop = jax.jit(self._build_solve_loop(step),
                                    donate_argnums=(0,))
+        self._step_batched = None   # built lazily by solve_batched
+        self._fmg = None            # built lazily by init_state
 
     # ------------------------------------------------------------ state
 
@@ -113,8 +114,11 @@ class MultigridPoisson:
         loop polishes)."""
         f = self.rhs() if f is None else f
         if self.spec.cycle == "fmg":
-            from mgpoisson.cycle.vcycle import fmg
-            return jax.jit(lambda f: fmg(f, self.spec.fine_h, self.spec))(f)
+            if self._fmg is None:
+                from mgpoisson.cycle.vcycle import fmg
+                self._fmg = jax.jit(
+                    lambda f: fmg(f, self.spec.fine_h, self.spec))
+            return self._fmg(f)
         return initial_guess(f)
 
     # ------------------------------------------------------------- step
@@ -211,12 +215,14 @@ class MultigridPoisson:
                 p, f, self.spec.fine_h))(psis, fs)
         else:
             r0s = jnp.ones((fs.shape[0],), self._dtype)
-        step_b = jax.jit(jax.vmap(self._step_fn))
+        if self._step_batched is None:
+            self._step_batched = jax.jit(jax.vmap(self._step_fn))
+        step_b = self._step_batched
+        errs = jnp.full((fs.shape[0],), jnp.inf, self._dtype)
         if cycles is not None:
             for _ in range(cycles):
                 psis, errs = step_b(psis, fs, r0s)
             return psis, errs
-        errs = jnp.full((fs.shape[0],), jnp.inf, self._dtype)
         for _ in range(self.spec.maxiter):
             psis, errs = step_b(psis, fs, r0s)
             worst = float(jnp.max(errs))
