@@ -130,9 +130,6 @@ class Spec:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.partition not in ("gspmd", "spmd"):
             raise ValueError(f"unknown partition {self.partition!r}")
-        if self.partition == "spmd" and self.ndim != 2:
-            raise ValueError("partition='spmd' supports ndim=2 only "
-                             "(use 'gspmd' for 3D)")
         if not _is_pow2(self.coarse_size) or self.coarse_size > self.size:
             raise ValueError(f"bad coarse_size {self.coarse_size}")
         if self.dtype not in ("float32", "float64", "bfloat16"):

@@ -12,15 +12,18 @@ mesh, with the communication written out explicitly —
   (`cpu.lua:28-31`) — the boundary condition falls out of the
   collective's semantics.  Face-Dirichlet (tuned scheme's coarse
   levels) overrides the received halo with -edge on boundary devices.
-- restriction and injection prolongation are halo-free (local 2x2
-  blocks); bilinear prolongation exchanges one coarse halo cell.
+- restriction and injection prolongation are halo-free (local 2^ndim
+  blocks); bilinear prolongation exchanges one coarse halo cell per
+  sharded axis.
 - below spec.replicate_below the level is all-gathered and every device
   redundantly computes the coarse subtree, then slices its shard back —
   the reference hybrid's cpuDepth handoff (`cpu-gpu.lua:17-52`) reborn:
   tiny grids are collective-latency-bound, so stop communicating.
 - error reductions are local sums + psum.
 
-2D only (the sharded axes); both schemes and smoothers.
+Rank-polymorphic: 2D grids shard both axes; 3D grids shard axes 0 and 1
+over the same ('x','y') mesh with axis 2 kept local (contiguous lanes).
+Both schemes and all smoothers.
 """
 
 from __future__ import annotations
@@ -32,19 +35,30 @@ from jax.sharding import PartitionSpec as P
 from mgpoisson.cycle.vcycle import _cycle as _replicated_cycle
 from mgpoisson.kernels import xla
 
+# mesh axis name per sharded array axis; array axes >= 2 are local
+_AXIS_NAMES = ("x", "y")
+
+
+def _edge(u, ax, side):
+    """One-cell-thick boundary slice of u along ax ('lo' or 'hi')."""
+    idx = [slice(None)] * u.ndim
+    idx[ax] = slice(0, 1) if side == "lo" else slice(-1, None)
+    return u[tuple(idx)]
+
 
 def build_spmd_step(spec, mesh):
-    """Return step(psi, f) -> (psi_new, rms_update_err, residual_norm)
+    """Return step(psi, f) -> (psi_new, rms_update, residual_norm)
     with the whole V-cycle inside one shard_map."""
-    mx = mesh.shape["x"]
-    my = mesh.shape["y"]
+    mesh_sizes = {"x": mesh.shape["x"], "y": mesh.shape["y"]}
+    ndim = spec.ndim
+    sharded_axes = list(range(min(2, ndim)))
     h0 = spec.fine_h
     smoother = spec.smoother_resolved
 
     def shift(x, axis_name, direction):
         """Neighbor transfer along a mesh axis; zeros arrive at the
         global boundary (non-wrapping permute == zero-ghost bc)."""
-        n = mx if axis_name == "x" else my
+        n = mesh_sizes[axis_name]
         if n == 1:
             return jnp.zeros_like(x)
         if direction > 0:      # receive from the lower-index neighbor
@@ -53,40 +67,51 @@ def build_spmd_step(spec, mesh):
             perm = [(i + 1, i) for i in range(n - 1)]
         return jax.lax.ppermute(x, axis_name, perm)
 
-    def halos(u, bc):
-        top = shift(u[-1:, :], "x", +1)
-        bot = shift(u[:1, :], "x", -1)
-        lef = shift(u[:, -1:], "y", +1)
-        rig = shift(u[:, :1], "y", -1)
+    def axis_halos(u, ax, bc):
+        """(lo_halo, hi_halo) line pair for array axis ax."""
+        if ax in sharded_axes:
+            name = _AXIS_NAMES[ax]
+            lo = shift(_edge(u, ax, "hi"), name, +1)
+            hi = shift(_edge(u, ax, "lo"), name, -1)
+            if bc == "face":
+                aidx = jax.lax.axis_index(name)
+                lo = jnp.where(aidx == 0, -_edge(u, ax, "lo"), lo)
+                hi = jnp.where(aidx == mesh_sizes[name] - 1,
+                               -_edge(u, ax, "hi"), hi)
+            return lo, hi
+        # local axis: the global boundary is in-block
         if bc == "face":
-            ix = jax.lax.axis_index("x")
-            iy = jax.lax.axis_index("y")
-            top = jnp.where(ix == 0, -u[:1, :], top)
-            bot = jnp.where(ix == mx - 1, -u[-1:, :], bot)
-            lef = jnp.where(iy == 0, -u[:, :1], lef)
-            rig = jnp.where(iy == my - 1, -u[:, -1:], rig)
-        return top, bot, lef, rig
+            return -_edge(u, ax, "lo"), -_edge(u, ax, "hi")
+        z = jnp.zeros_like(_edge(u, ax, "lo"))
+        return z, z
 
     def nbr(u, bc):
-        t, b, l, r = halos(u, bc)
-        up = jnp.concatenate([t, u[:-1, :]], axis=0)
-        dn = jnp.concatenate([u[1:, :], b], axis=0)
-        lf = jnp.concatenate([l, u[:, :-1]], axis=1)
-        rt = jnp.concatenate([u[:, 1:], r], axis=1)
-        return up + dn + lf + rt
+        s = None
+        for ax in range(ndim):
+            lo, hi = axis_halos(u, ax, bc)
+            idx_lo = [slice(None)] * ndim
+            idx_lo[ax] = slice(None, -1)
+            idx_hi = [slice(None)] * ndim
+            idx_hi[ax] = slice(1, None)
+            up = jnp.concatenate([lo, u[tuple(idx_lo)]], axis=ax)
+            dn = jnp.concatenate([u[tuple(idx_hi)], hi], axis=ax)
+            term = up + dn
+            s = term if s is None else s + term
+        return s
 
     def sweep(u, f, h, bc):
         hsq = h * h
-        adiag = -4.0 / hsq
+        adiag = -2.0 * ndim / hsq
         if smoother == "jacobi":
             return (f - nbr(u, bc) / hsq) / adiag
         if smoother == "wjacobi":
-            omega = 2.0 * u.ndim / (2.0 * u.ndim + 1.0)
+            omega = 2.0 * ndim / (2.0 * ndim + 1.0)
             return u + omega * ((f - nbr(u, bc) / hsq) / adiag - u)
         # red-black: local sizes are even, so local parity == global parity
-        rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-        parity = (rows + cols) % 2
+        parity = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        for ax in range(1, ndim):
+            parity = parity + jax.lax.broadcasted_iota(jnp.int32, u.shape, ax)
+        parity = parity % 2
         for p in (0, 1):
             upd = (f - nbr(u, bc) / hsq) / adiag
             u = jnp.where(parity == p, upd, u)
@@ -94,72 +119,81 @@ def build_spmd_step(spec, mesh):
 
     def residual(u, f, h, bc):
         hsq = h * h
-        return f - (nbr(u, bc) / hsq + (-4.0 / hsq) * u)
+        return f - (nbr(u, bc) / hsq + (-2.0 * ndim / hsq) * u)
 
     def prolong_correct(u, V, kind):
         if kind == "inject":
-            return u + jnp.repeat(jnp.repeat(V, 2, axis=0), 2, axis=1)
+            v = V
+            for ax in range(ndim):
+                v = jnp.repeat(v, 2, axis=ax)
+            return u + v
         # bilinear with face-adapted global-edge weights: fine-space
         # blend per axis (see kernels/xla.py); the +-2 fine shift needs
-        # the neighbor's edge coarse line, fetched with one ppermute
+        # the neighbor's edge coarse line, fetched with one ppermute on
+        # sharded axes (zero-filled on local axes / at global edges)
         v = V
-        ix = jax.lax.axis_index("x")
-        iy = jax.lax.axis_index("y")
-        for ax, (axis_name, nmesh, aidx) in enumerate(
-                [("x", mx, ix), ("y", my, iy)]):
+        for ax in range(ndim):
             R = jnp.repeat(v, 2, axis=ax)
-            lo_h = shift(v[-1:, :] if ax == 0 else v[:, -1:], axis_name, +1)
-            hi_h = shift(v[:1, :] if ax == 0 else v[:, :1], axis_name, -1)
+            lo_h, hi_h = axis_halos(v, ax, "ghost0")
             lo_h = jnp.repeat(lo_h, 2, axis=ax)   # 2 fine halo lines
             hi_h = jnp.repeat(hi_h, 2, axis=ax)
-            if ax == 0:
-                Rm = jnp.concatenate([lo_h, R[:-2, :]], axis=0)
-                Rp = jnp.concatenate([R[2:, :], hi_h], axis=0)
-            else:
-                Rm = jnp.concatenate([lo_h, R[:, :-2]], axis=1)
-                Rp = jnp.concatenate([R[:, 2:], hi_h], axis=1)
+            idx_m = [slice(None)] * ndim
+            idx_m[ax] = slice(None, -2)
+            idx_p = [slice(None)] * ndim
+            idx_p[ax] = slice(2, None)
+            Rm = jnp.concatenate([lo_h, R[tuple(idx_m)]], axis=ax)
+            Rp = jnp.concatenate([R[tuple(idx_p)], hi_h], axis=ax)
             idx = jax.lax.broadcasted_iota(jnp.int32, R.shape, ax)
             out = 0.75 * R + 0.25 * jnp.where(idx % 2 == 0, Rm, Rp)
             nloc = R.shape[ax]
-            first = (aidx == 0) & (idx == 0)
-            last = (aidx == nmesh - 1) & (idx == nloc - 1)
+            if ax in sharded_axes:
+                name = _AXIS_NAMES[ax]
+                aidx = jax.lax.axis_index(name)
+                first = (aidx == 0) & (idx == 0)
+                last = (aidx == mesh_sizes[name] - 1) & (idx == nloc - 1)
+            else:
+                first = idx == 0
+                last = idx == nloc - 1
             v = jnp.where(first | last, 0.5 * R, out)
         return u + v
 
-    def restrict(r):
-        return xla.restrict(r)   # local 2x2 blocks, halo-free
-
     def gather_full(x):
         full = jax.lax.all_gather(x, "x", axis=0, tiled=True)
-        return jax.lax.all_gather(full, "y", axis=1, tiled=True)
+        if 1 in sharded_axes:
+            full = jax.lax.all_gather(full, "y", axis=1, tiled=True)
+        return full
 
-    def slice_local(full, nloc, mloc):
-        ix = jax.lax.axis_index("x")
-        iy = jax.lax.axis_index("y")
-        return jax.lax.dynamic_slice(full, (ix * nloc, iy * mloc),
-                                     (nloc, mloc))
+    def slice_local(full, local_shape):
+        starts = [jnp.int32(0)] * ndim
+        starts[0] = jax.lax.axis_index("x") * local_shape[0]
+        if 1 in sharded_axes:
+            starts[1] = jax.lax.axis_index("y") * local_shape[1]
+        return jax.lax.dynamic_slice(full, tuple(starts), local_shape)
 
     def shardable(g):
         # every device keeps an even block of at least 2 cells per axis
-        return (g % mx == 0 and g % my == 0
-                and g // mx >= 2 and g // my >= 2
-                and (g // mx) % 2 == 0 and (g // my) % 2 == 0)
+        for name in ("x", "y"):
+            m = mesh_sizes[name]
+            if g % m != 0 or g // m < 2 or (g // m) % 2 != 0:
+                return False
+        return True
 
     def cycle(u, f, h, global_size, fine_level):
         bc = "ghost0" if fine_level else spec.coarse_bc
 
-        if global_size <= spec.replicate_below or not shardable(global_size // 2):
+        if global_size <= spec.replicate_below \
+                or not shardable(global_size // 2):
             # replicated handoff: gather once, run the remaining subtree
             # redundantly on every device, slice back
             u_full = gather_full(u)
             f_full = gather_full(f)
             u_full = _replicated_cycle(u_full, f_full, h, spec, 1,
                                        fine_level, None)
-            return slice_local(u_full, u.shape[0], u.shape[1])
+            return slice_local(u_full, u.shape)
 
         for _ in range(spec.nu_pre):
             u = sweep(u, f, h, bc)
-        R = restrict(residual(u, f, h, bc))
+        R = xla.restrict(residual(u, f, h, bc))   # local 2^ndim blocks
         V = jnp.zeros_like(R)
         V = cycle(V, R, 2 * h, global_size // 2, False)
         u = prolong_correct(u, V, spec.prolong_kind)
@@ -173,12 +207,13 @@ def build_spmd_step(spec, mesh):
         psi_new = cycle(psi, f, h0, spec.size, True)
         d = psi_new - psi
         sq = jax.lax.psum(jnp.sum(d * d), ("x", "y"))
-        err_upd = jnp.sqrt(sq / (spec.size ** spec.ndim))
+        err_upd = jnp.sqrt(sq / (spec.size ** ndim))
         r = residual(psi_new, f, h0, "ghost0")
         rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
         return psi_new, err_upd, rn
 
-    pspec = P("x", "y")
+    pspec = P(*(_AXIS_NAMES[ax] for ax in sharded_axes),
+              *([None] * (ndim - len(sharded_axes))))
     return jax.shard_map(step_local, mesh=mesh,
                          in_specs=(pspec, pspec),
                          out_specs=(pspec, P(), P()),

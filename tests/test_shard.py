@@ -123,6 +123,14 @@ def test_spmd_solve_matches_gspmd():
                                rtol=1e-10, atol=1e-8)
 
 
-def test_spmd_requires_2d():
-    with pytest.raises(ValueError):
-        Spec(size=32, ndim=3, partition="spmd")
+def test_spmd_3d_matches_single_device():
+    spec1 = Spec(size=32, ndim=3, dtype="float64", backend="xla",
+                 scheme="tuned", maxiter=3)
+    specN = spec1.with_(mesh_shape=(4, 2), partition="spmd",
+                        replicate_below=8)
+    res1 = MultigridPoisson(spec1).solve()
+    resN = MultigridPoisson(specN).solve()
+    np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
+                               rtol=1e-11, atol=1e-9)
+    shardings = {tuple(s.data.shape) for s in resN.psi.addressable_shards}
+    assert shardings == {(8, 16, 32)}
