@@ -49,6 +49,11 @@ def _edge(u, ax, side):
 def build_spmd_step(spec, mesh):
     """Return step(psi, f) -> (psi_new, rms_update, residual_norm)
     with the whole V-cycle inside one shard_map."""
+    if spec.cycle == "fmg":
+        raise NotImplementedError(
+            "partition='spmd' supports cycle='v'/'w'; use the GSPMD "
+            "partition for FMG initialization")
+    gamma = 2 if spec.cycle == "w" else 1
     mesh_sizes = {"x": mesh.shape["x"], "y": mesh.shape["y"]}
     ndim = spec.ndim
     sharded_axes = list(range(min(2, ndim)))
@@ -187,7 +192,7 @@ def build_spmd_step(spec, mesh):
             # redundantly on every device, slice back
             u_full = gather_full(u)
             f_full = gather_full(f)
-            u_full = _replicated_cycle(u_full, f_full, h, spec, 1,
+            u_full = _replicated_cycle(u_full, f_full, h, spec, gamma,
                                        fine_level, None)
             return slice_local(u_full, u.shape)
 
@@ -195,7 +200,8 @@ def build_spmd_step(spec, mesh):
             u = sweep(u, f, h, bc)
         R = xla.restrict(residual(u, f, h, bc))   # local 2^ndim blocks
         V = jnp.zeros_like(R)
-        V = cycle(V, R, 2 * h, global_size // 2, False)
+        for _ in range(gamma):
+            V = cycle(V, R, 2 * h, global_size // 2, False)
         u = prolong_correct(u, V, spec.prolong_kind)
         for _ in range(spec.nu_post):
             u = sweep(u, f, h, bc)

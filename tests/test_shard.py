@@ -134,3 +134,21 @@ def test_spmd_3d_matches_single_device():
                                rtol=1e-11, atol=1e-9)
     shardings = {tuple(s.data.shape) for s in resN.psi.addressable_shards}
     assert shardings == {(8, 16, 32)}
+
+
+def test_spmd_wcycle_matches_single_device():
+    spec1 = Spec(size=64, dtype="float64", backend="xla", scheme="tuned",
+                 cycle="w", maxiter=3)
+    specN = spec1.with_(mesh_shape=(2, 2), partition="spmd",
+                        replicate_below=8)
+    res1 = MultigridPoisson(spec1).solve()
+    resN = MultigridPoisson(specN).solve()
+    np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
+                               rtol=1e-11, atol=1e-9)
+
+
+def test_spmd_fmg_rejected():
+    spec = Spec(size=32, scheme="tuned", cycle="fmg", mesh_shape=(2, 2),
+                partition="spmd")
+    with pytest.raises(NotImplementedError):
+        MultigridPoisson(spec)
