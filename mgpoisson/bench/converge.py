@@ -30,30 +30,39 @@ import numpy as np
 def run_study(size: int, scheme: str = "reference",
               solvers: List[str] = ("cg",), epsilon: float = 1e-12,
               dtype: str = "float64") -> Dict:
+    import jax
     import jax.numpy as jnp
     from mgpoisson import MultigridPoisson, Spec
     from mgpoisson.compare import krylov
+
+    if dtype == "float64" and not jax.config.jax_enable_x64:
+        # the study defaults to f64 like the reference's fp64-preferring
+        # device policy (`gpu.lua:7-15`); without this, jax silently
+        # truncates to f32 when run outside the x64-enabled test env
+        jax.config.update("jax_enable_x64", True)
 
     spec = Spec(size=size, dtype=dtype, scheme=scheme, tol=epsilon,
                 maxiter=2000, backend="xla")
     mg = MultigridPoisson(spec)
     f = mg.rhs()
 
-    mg_norms = []
+    mg_norms = []   # ||psi||_inf per iteration — the reference's metric
+    mg_errs = []    # the stopping metric (update RMS), kept alongside
 
-    def cb(it, err):
-        # the reference records ||psi||_inf per iteration (`:24-27`);
-        # psi is not passed to the hook, so record err here and norms
-        # via a second pass below
-        mg_norms.append(err)
+    def cb(it, err, psi):
+        # the reference hook records ||psi||_inf per iteration by
+        # closing over the live solver (`:23-27`); here the iterate is
+        # passed to the 3-parameter callback directly
+        mg_errs.append(err)
+        mg_norms.append(float(jnp.max(jnp.abs(psi))))
         return False
 
     res = mg.solve(error_callback=cb)
     psi_mg = np.asarray(res.psi, np.float64)
 
     A = krylov.poisson_operator(spec.fine_h)
-    out = {"size": size, "mg_errs": mg_norms, "mg_iterations": res.iterations,
-           "psi_mg": psi_mg, "krylov": {}}
+    out = {"size": size, "mg_norms": mg_norms, "mg_errs": mg_errs,
+           "mg_iterations": res.iterations, "psi_mg": psi_mg, "krylov": {}}
     for name in solvers:
         fn = {"cg": krylov.cg, "cr": krylov.conjugate_residual,
               "bicgstab": krylov.bicgstab, "gmres": krylov.gmres}[name]
@@ -62,6 +71,7 @@ def run_study(size: int, scheme: str = "reference",
             "iterations": kres.iterations,
             "converged": kres.converged,
             "residuals": np.asarray(kres.residuals, np.float64),
+            "xnorms": np.asarray(kres.xnorms, np.float64),
             "psi": np.asarray(kres.x, np.float64),
         }
     return out
@@ -71,10 +81,12 @@ def write_outputs(study: Dict, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     size = study["size"]
 
-    # per-iteration TSV (reference writes converge/<size>.txt, `:87`)
+    # per-iteration TSV (reference writes converge/<size>.txt, `:87`);
+    # columns are per-iteration ||psi||_inf for every solver — the
+    # reference's recorded quantity (`:24-27,59-67`)
     path = os.path.join(out_dir, f"{size}.txt")
-    cols = [study["mg_errs"]] + [list(v["residuals"])
-                                 for v in study["krylov"].values()]
+    cols = [study["mg_norms"]] + [list(v["xnorms"])
+                                  for v in study["krylov"].values()]
     depth = max(len(c) for c in cols)
     with open(path, "w") as fh:
         fh.write("\t".join(["multigrid"] + list(study["krylov"])) + "\n")
@@ -87,17 +99,29 @@ def write_outputs(study: Dict, out_dir: str) -> None:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        # log-y convergence curves (`:98-108`)
-        fig, ax = plt.subplots()
-        ax.semilogy(range(1, len(study["mg_errs"]) + 1), study["mg_errs"],
+        # log-y curves of the recorded ||psi||_inf (`:98-108`), plus a
+        # second panel with the convergence metrics (update-RMS /
+        # relative residual) the reference prints but does not plot
+        fig, (ax, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+        ax.semilogy(range(1, len(study["mg_norms"]) + 1), study["mg_norms"],
                     label="multigrid")
         for name, v in study["krylov"].items():
-            ax.semilogy(range(1, len(v["residuals"]) + 1), v["residuals"],
+            ax.semilogy(range(1, len(v["xnorms"]) + 1), v["xnorms"],
                         label=name)
         ax.set_xlabel("iteration")
-        ax.set_ylabel("error")
-        ax.set_title(f"multigrid vs krylov {size}")
+        ax.set_ylabel(r"$\|\psi\|_\infty$")
+        ax.set_title(f"solution norm, size {size}")
         ax.legend()
+        ax2.semilogy(range(1, len(study["mg_errs"]) + 1), study["mg_errs"],
+                     label="multigrid (update RMS)")
+        for name, v in study["krylov"].items():
+            ax2.semilogy(range(1, len(v["residuals"]) + 1), v["residuals"],
+                         label=f"{name} (rel. residual)")
+        ax2.set_xlabel("iteration")
+        ax2.set_ylabel("convergence metric")
+        ax2.set_title("stopping metrics")
+        ax2.legend()
+        fig.tight_layout()
         fig.savefig(os.path.join(out_dir,
                                  f"{size}-multigrid-vs-krylov.png"), dpi=120)
         plt.close(fig)

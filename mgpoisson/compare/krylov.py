@@ -38,6 +38,13 @@ class KrylovResult:
     iterations: int
     converged: bool
     residuals: jax.Array   # ||r||/||b|| history, length `iterations`
+    # per-iteration ||x||_inf — what the reference harness records from
+    # its Krylov errorCallback(err, iter, psi, ...) hook
+    # (`test/converge-multigrid-vs-krylov.lua:59-67`); recorded on
+    # device inside the solve loop (no per-iteration host sync).  For
+    # gmres the iterate only exists at restart boundaries, so each
+    # cycle's end value is repeated for its inner steps.
+    xnorms: Optional[jax.Array] = None
 
 
 def _dot(a, b):
@@ -51,23 +58,27 @@ def poisson_operator(h: float, bc: str = "ghost0") -> Callable:
 
 
 def _run_loop(body, init, maxiter, tol, bnorm, rnorm0):
-    """Shared while_loop driver; carry = (state..., it, rnorm, hist)."""
+    """Shared while_loop driver; carry = (state..., it, rnorm, hist,
+    xhist).  state[0] is the iterate x by convention; its L-inf norm is
+    recorded per iteration on device (the reference hook's metric)."""
 
     def cond(carry):
-        *_, it, rnorm, _hist = carry
+        *_, it, rnorm, _hist, _xhist = carry
         return (it < maxiter) & (rnorm > tol * bnorm) & jnp.isfinite(rnorm)
 
     def wrapped(carry):
-        *state, it, rnorm, hist = carry
+        *state, it, rnorm, hist, xhist = carry
         state, rnorm = body(state)
         hist = hist.at[it].set((rnorm / bnorm).astype(hist.dtype))
-        return (*state, it + 1, rnorm, hist)
+        xhist = xhist.at[it].set(
+            jnp.max(jnp.abs(state[0])).astype(xhist.dtype))
+        return (*state, it + 1, rnorm, hist, xhist)
 
     hist0 = jnp.full((maxiter,), jnp.nan, dtype=rnorm0.dtype)
     carry = jax.lax.while_loop(cond, wrapped, (*init, jnp.int32(0),
-                                               rnorm0, hist0))
-    *state, it, rnorm, hist = carry
-    return state, it, rnorm, hist
+                                               rnorm0, hist0, hist0))
+    *state, it, rnorm, hist, xhist = carry
+    return state, it, rnorm, hist, xhist
 
 
 def cg(A: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
@@ -101,11 +112,11 @@ def _krylov_common(kind, A, b, x0, tol, maxiter, error_callback):
     bnorm = jnp.sqrt(_dot(b, b))
 
     solve = _LOOPS[kind]
-    x, it, rnorm, hist = solve(A, b, x0, tol, maxiter)
+    x, it, rnorm, hist, xhist = solve(A, b, x0, tol, maxiter)
     it = int(it)
     res = KrylovResult(x=x, iterations=it,
                        converged=bool(rnorm <= tol * bnorm),
-                       residuals=hist[:it])
+                       residuals=hist[:it], xnorms=xhist[:it])
     if error_callback is not None:
         # replay the recorded history through the reference-style hook
         for k, r in enumerate(res.residuals, start=1):
@@ -130,9 +141,9 @@ def _cg_loop(A, b, x0, tol, maxiter):
 
     bnorm = jnp.sqrt(_dot(b, b))
     rnorm0 = jnp.sqrt(_dot(r0, r0))
-    (x, *_), it, rnorm, hist = _run_loop(body, (x0, r0, p0, _dot(r0, r0)),
-                                         maxiter, tol, bnorm, rnorm0)
-    return x, it, rnorm, hist
+    (x, *_), it, rnorm, hist, xhist = _run_loop(
+        body, (x0, r0, p0, _dot(r0, r0)), maxiter, tol, bnorm, rnorm0)
+    return x, it, rnorm, hist, xhist
 
 
 def _cr_loop(A, b, x0, tol, maxiter):
@@ -155,10 +166,10 @@ def _cr_loop(A, b, x0, tol, maxiter):
 
     bnorm = jnp.sqrt(_dot(b, b))
     rnorm0 = jnp.sqrt(_dot(r0, r0))
-    (x, *_), it, rnorm, hist = _run_loop(
+    (x, *_), it, rnorm, hist, xhist = _run_loop(
         body, (x0, r0, p0, Ar0, Ap0, _dot(r0, Ar0)), maxiter, tol, bnorm,
         rnorm0)
-    return x, it, rnorm, hist
+    return x, it, rnorm, hist, xhist
 
 
 def _bicgstab_loop(A, b, x0, tol, maxiter):
@@ -182,10 +193,10 @@ def _bicgstab_loop(A, b, x0, tol, maxiter):
     one = jnp.asarray(1.0, x0.dtype)
     bnorm = jnp.sqrt(_dot(b, b))
     rnorm0 = jnp.sqrt(_dot(r0, r0))
-    (x, *_), it, rnorm, hist = _run_loop(
+    (x, *_), it, rnorm, hist, xhist = _run_loop(
         body, (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one),
         maxiter, tol, bnorm, rnorm0)
-    return x, it, rnorm, hist
+    return x, it, rnorm, hist, xhist
 
 
 def gmres(A, b, x0=None, *, tol=1e-10, maxiter=10000, restart=100,
@@ -205,9 +216,11 @@ def gmres(A, b, x0=None, *, tol=1e-10, maxiter=10000, restart=100,
     x = x0.ravel()
     bf = b.ravel()
     residuals = []
+    xnorms = []
     it = 0
     converged = False
     while it < maxiter and not converged:
+        steps_before = it
         x, rnorms = _gmres_cycle(flat_A, bf, x, restart)
         for rn in np.asarray(rnorms):
             it += 1
@@ -221,9 +234,13 @@ def gmres(A, b, x0=None, *, tol=1e-10, maxiter=10000, restart=100,
                 break
             if it >= maxiter:
                 break
+        # the iterate only materializes at restart boundaries; repeat
+        # its norm for the cycle's inner steps (see KrylovResult.xnorms)
+        xnorms.extend([float(jnp.max(jnp.abs(x)))] * (it - steps_before))
     return KrylovResult(x=x.reshape(shape), iterations=it,
                         converged=converged,
-                        residuals=jnp.asarray(residuals))
+                        residuals=jnp.asarray(residuals),
+                        xnorms=jnp.asarray(xnorms))
 
 
 @partial(jax.jit, static_argnums=(0, 3))

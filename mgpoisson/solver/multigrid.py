@@ -22,6 +22,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import math
 from typing import Callable, Optional
 
@@ -180,6 +181,12 @@ class MultigridPoisson:
         iter, like the reference, `cpu.lua:213`); returning a truthy
         value stops the solve — the observability hook both reference
         harnesses consume (`test/converge-multigrid-vs-krylov.lua:23-27`).
+        A 3-parameter callback additionally receives the live iterate:
+        error_callback(iter, err, psi) — the reference's hook closes
+        over the solver and reads `mg.psi` per iteration to record
+        its L-inf norm (`converge-multigrid-vs-krylov.lua:23-27`); here
+        the iterate is passed explicitly (functional style, no
+        aliasing), still synced to host once per cycle.
         """
         f = self.rhs() if f is None else jnp.asarray(f, self._dtype)
         psi = self.init_state(f) if psi0 is None else jnp.asarray(
@@ -231,6 +238,13 @@ class MultigridPoisson:
         return psis, errs
 
     def _solve_host_loop(self, psi, f, r0, error_callback):
+        # a 3-parameter callback also receives the live iterate (the
+        # reference hook reads mg.psi, `converge-…lua:23-27`)
+        try:
+            n_params = len(inspect.signature(error_callback).parameters)
+        except (TypeError, ValueError):
+            n_params = 2
+        wants_psi = n_params >= 3
         errs_list = []
         converged = False
         it = 0
@@ -238,7 +252,9 @@ class MultigridPoisson:
             psi, err = self._step(psi, f, r0)
             err_f = float(err)
             errs_list.append(err_f)
-            if error_callback(it, err_f):
+            stop = (error_callback(it, err_f, psi) if wants_psi
+                    else error_callback(it, err_f))
+            if stop:
                 break
             if err_f < self.spec.tol or not math.isfinite(err_f):
                 converged = err_f < self.spec.tol

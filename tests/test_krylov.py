@@ -116,3 +116,18 @@ def test_gmres_restart_and_callback():
                        error_callback=lambda it, e: seen.append(it) or False)
     assert res.converged
     assert seen == list(range(1, res.iterations + 1))
+
+
+def test_xnorm_history_recorded():
+    # per-iteration ||x||_inf history — the quantity the reference's
+    # Krylov errorCallback records (`converge-…lua:59-67`), kept
+    # on-device in the solve loop
+    size = 16
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    res = krylov.cg(krylov.poisson_operator(1.0 / size), f, tol=1e-10)
+    assert res.xnorms is not None
+    assert res.xnorms.shape == (res.iterations,)
+    assert np.isfinite(np.asarray(res.xnorms)).all()
+    # the last recorded norm is the returned solution's norm
+    np.testing.assert_allclose(float(res.xnorms[-1]),
+                               float(jnp.max(jnp.abs(res.x))), rtol=1e-12)

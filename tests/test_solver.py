@@ -135,3 +135,21 @@ def test_rel_err_secondary_metric():
     got = float(mg.rel_err(psi1, psi))
     want = oracle.rel_err(np.asarray(psi1), np.asarray(psi))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_error_callback_receives_psi():
+    # a 3-parameter callback gets the live iterate — the reference hook
+    # reads mg.psi per iteration to record ||psi||_inf
+    # (`test/converge-multigrid-vs-krylov.lua:23-27`)
+    mg = _solver(16, scheme="tuned")
+    norms = []
+
+    def cb(it, err, psi):
+        assert psi.shape == (16, 16)
+        norms.append(float(jnp.max(jnp.abs(psi))))
+        return False
+
+    res = mg.solve(error_callback=cb)
+    assert len(norms) == res.iterations
+    # the final callback iterate IS the returned solution
+    assert norms[-1] == pytest.approx(float(jnp.max(jnp.abs(res.psi))))
