@@ -31,6 +31,15 @@ def get_ops(spec, level_size: int):
     """Return the op module to use for a level of side `level_size`."""
     if spec.backend == "xla":
         return xla
+    if spec.mesh_shape is not None:
+        # Under a device mesh the GSPMD partitioner cannot split a
+        # pallas_call (no partitioning rule for the custom call), so a
+        # sharded operand would be all-gathered onto one device — worse
+        # than the XLA ops it replaces.  Force the XLA formulations,
+        # whose stencils partition cleanly (halo collectives inserted
+        # by XLA).  Per-shard Pallas inside shard_map is the future
+        # path (mgpoisson.shard.spmd currently uses XLA ops per shard).
+        return xla
     if spec.ndim != 2:
         return xla  # Pallas path is 2D-specialized for now
     use_pallas = spec.backend == "pallas" or (

@@ -56,6 +56,10 @@ class MultigridPoisson:
         """mesh: optional jax.sharding.Mesh (or set spec.mesh_shape) for
         2D-block domain-decomposed execution with level-dependent
         replication (see mgpoisson.shard)."""
+        if mesh is not None and spec.mesh_shape is None:
+            # normalize: downstream backend selection keys off
+            # spec.mesh_shape (get_ops fences Pallas under a mesh)
+            spec = spec.with_(mesh_shape=tuple(mesh.devices.shape))
         self.spec = spec
         self._dtype = jnp.dtype(spec.dtype)
         self.mesh = mesh

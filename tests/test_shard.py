@@ -152,3 +152,21 @@ def test_spmd_fmg_rejected():
                 partition="spmd")
     with pytest.raises(NotImplementedError):
         MultigridPoisson(spec)
+
+
+def test_mesh_fences_pallas_backend():
+    # GSPMD cannot partition a pallas_call; under a mesh get_ops must
+    # return the XLA ops for every level regardless of backend choice
+    from mgpoisson.kernels import get_ops, xla
+
+    for backend in ("auto", "pallas"):
+        spec = Spec(size=512, backend=backend, mesh_shape=(4, 2),
+                    pallas_min_size=64)
+        assert get_ops(spec, 512) is xla
+
+    # and a solver constructed with an explicit mesh normalizes
+    # spec.mesh_shape so the fence applies
+    from mgpoisson.shard.mesh import build_mesh
+    mg = MultigridPoisson(Spec(size=64, backend="auto"),
+                          mesh=build_mesh((4, 2)))
+    assert mg.spec.mesh_shape == (4, 2)
