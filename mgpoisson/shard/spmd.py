@@ -46,13 +46,10 @@ def _edge(u, ax, side):
     return u[tuple(idx)]
 
 
-def build_spmd_step(spec, mesh):
-    """Return step(psi, f) -> (psi_new, rms_update, residual_norm)
-    with the whole V-cycle inside one shard_map."""
-    if spec.cycle == "fmg":
-        raise NotImplementedError(
-            "partition='spmd' supports cycle='v'/'w'; use the GSPMD "
-            "partition for FMG initialization")
+def _build_parts(spec, mesh):
+    """Shared closures for the explicit-SPMD step and FMG entry points."""
+    # cycle='fmg' means the FMG pass initializes (see build_spmd_fmg);
+    # the per-step cycle is then a V-cycle, like make_cycle's mapping
     gamma = 2 if spec.cycle == "w" else 1
     mesh_sizes = {"x": mesh.shape["x"], "y": mesh.shape["y"]}
     ndim = spec.ndim
@@ -218,9 +215,77 @@ def build_spmd_step(spec, mesh):
         rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
         return psi_new, err_upd, rn
 
+    def fmg_local(f):
+        """Full-multigrid initialization (`cycle/vcycle.py::fmg`) under
+        the explicit partition: restrict f shard-locally down to the
+        replicated-handoff level, gather once, finish the down sweep and
+        coarse solve replicated, then prolong back up — slicing local at
+        the handoff — with one sharded V-cycle per sharded level."""
+        # down sweep: (f_block, h, global_size, sharded?) finest first
+        g, h, cur = spec.size, h0, f
+        shd = g > spec.replicate_below and shardable(g)
+        if not shd:
+            cur = gather_full(cur)
+        levels = [(cur, h, g, shd)]
+        while g > spec.coarse_size:
+            gn = g // 2
+            if shd and (gn <= spec.replicate_below or not shardable(gn)):
+                cur = gather_full(cur)
+                shd = False
+            cur = xla.restrict(cur)            # local 2^ndim blocks
+            g, h = gn, 2 * h
+            levels.append((cur, h, g, shd))
+
+        fL, hL, gL, shdL = levels[-1]
+        if shdL:                                # only if size == coarse_size
+            fL = gather_full(fL)
+        bcL = "ghost0" if len(levels) == 1 else spec.coarse_bc
+        u = xla.coarse_solve(jnp.zeros_like(fL), fL, hL, smoother, bcL)
+        if shdL:
+            u = slice_local(u, levels[-1][0].shape)
+
+        for lvl in range(len(levels) - 2, -1, -1):
+            f_l, h_l, g_l, shd_l = levels[lvl]
+            shd_child = levels[lvl + 1][3]
+            if shd_l and not shd_child:
+                # replicated -> sharded handoff: prolong the full coarse
+                # solution, then keep only this device's block
+                u = xla.prolong(u, spec.prolong_kind)
+                u = slice_local(u, f_l.shape)
+            elif shd_l:
+                u = prolong_correct(jnp.zeros_like(f_l), u,
+                                    spec.prolong_kind)
+            else:
+                u = xla.prolong(u, spec.prolong_kind)
+            fine = lvl == 0
+            if shd_l:
+                u = cycle(u, f_l, h_l, g_l, fine)
+            else:
+                u = _replicated_cycle(u, f_l, h_l, spec, 1, fine, None)
+        return u
+
     pspec = P(*(_AXIS_NAMES[ax] for ax in sharded_axes),
               *([None] * (ndim - len(sharded_axes))))
-    return jax.shard_map(step_local, mesh=mesh,
+    return {"step_local": step_local, "fmg_local": fmg_local,
+            "pspec": pspec}
+
+
+def build_spmd_step(spec, mesh):
+    """step(psi, f) -> (psi_new, rms_update, residual_norm) with the
+    whole V-cycle inside one shard_map."""
+    parts = _build_parts(spec, mesh)
+    pspec = parts["pspec"]
+    return jax.shard_map(parts["step_local"], mesh=mesh,
                          in_specs=(pspec, pspec),
                          out_specs=(pspec, P(), P()),
+                         check_vma=False)
+
+
+def build_spmd_fmg(spec, mesh):
+    """fmg(f) -> u0: full-multigrid initialization under the explicit
+    partition (sharded fine levels, replicated coarse subtree)."""
+    parts = _build_parts(spec, mesh)
+    pspec = parts["pspec"]
+    return jax.shard_map(parts["fmg_local"], mesh=mesh,
+                         in_specs=(pspec,), out_specs=pspec,
                          check_vma=False)

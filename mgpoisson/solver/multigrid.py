@@ -120,9 +120,13 @@ class MultigridPoisson:
         f = self.rhs() if f is None else f
         if self.spec.cycle == "fmg":
             if self._fmg is None:
-                from mgpoisson.cycle.vcycle import fmg
-                self._fmg = jax.jit(
-                    lambda f: fmg(f, self.spec.fine_h, self.spec))
+                if self.mesh is not None and self.spec.partition == "spmd":
+                    from mgpoisson.shard.spmd import build_spmd_fmg
+                    self._fmg = jax.jit(build_spmd_fmg(self.spec, self.mesh))
+                else:
+                    from mgpoisson.cycle.vcycle import fmg
+                    self._fmg = jax.jit(
+                        lambda f: fmg(f, self.spec.fine_h, self.spec))
             return self._fmg(f)
         return initial_guess(f)
 

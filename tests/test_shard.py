@@ -147,11 +147,28 @@ def test_spmd_wcycle_matches_single_device():
                                rtol=1e-11, atol=1e-9)
 
 
-def test_spmd_fmg_rejected():
-    spec = Spec(size=32, scheme="tuned", cycle="fmg", mesh_shape=(2, 2),
-                partition="spmd")
-    with pytest.raises(NotImplementedError):
-        MultigridPoisson(spec)
+@pytest.mark.parametrize("scheme", ["tuned", "reference"])
+def test_spmd_fmg_matches_unsharded(scheme):
+    # FMG under the explicit partition: the sharded FMG initializer and
+    # the subsequent sharded solve must match the single-device FMG path
+    spec1 = Spec(size=64, dtype="float64", scheme=scheme, cycle="fmg",
+                 backend="xla", maxiter=6)
+    specN = spec1.with_(mesh_shape=(2, 2), partition="spmd",
+                        replicate_below=8)
+    mg1 = MultigridPoisson(spec1)
+    mgN = MultigridPoisson(specN)
+    f = mg1.rhs()
+
+    u0_1 = mg1.init_state(f)
+    u0_N = mgN.init_state(f)
+    np.testing.assert_allclose(np.asarray(u0_N), np.asarray(u0_1),
+                               rtol=1e-11, atol=1e-9)
+
+    res1 = mg1.solve(f)
+    resN = mgN.solve(f)
+    assert resN.iterations == res1.iterations
+    np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
+                               rtol=1e-11, atol=1e-9)
 
 
 def test_mesh_fences_pallas_backend():
