@@ -391,18 +391,485 @@ def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     return out
 
 
+# ----------------------------------------- lane halving / doubling
+# Mosaic cannot lower strided LANE slices, lane-splitting reshapes, or
+# lane-interleaving jnp.repeat (all fail to compile; sublane forms are
+# fine).  The forms that DO lower: small MXU matmuls against constant
+# 0/1 selection matrices over static 512-lane chunks.  precision=
+# HIGHEST keeps the result f32-accurate (DEFAULT rounds through bf16).
+
+_LANE_CHUNK = 256   # minimum K per output tile: halve (256->128) needs
+                    # K=256; double (128->256) needs K=128 — smaller
+                    # chunks halve the MXU flops vs 512-wide ones
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _halve_mat(n, dtype):
+    """(C, C/2) pair-sum selection: out[j] = in[2j] + in[2j+1]."""
+    import numpy as np
+    c = min(_LANE_CHUNK, n)
+    m = np.zeros((c, c // 2), np.float32)
+    m[2 * np.arange(c // 2), np.arange(c // 2)] = 1.0
+    m[2 * np.arange(c // 2) + 1, np.arange(c // 2)] = 1.0
+    return jnp.asarray(m, dtype)
+
+
+def _double_mat(n, dtype):
+    """(C/2, C) duplication: out[2j] = out[2j+1] = in[j]."""
+    import numpy as np
+    c = min(_LANE_CHUNK, n)
+    m = np.zeros((c // 2, c), np.float32)
+    m[np.arange(c // 2), 2 * np.arange(c // 2)] = 1.0
+    m[np.arange(c // 2), 2 * np.arange(c // 2) + 1] = 1.0
+    return jnp.asarray(m, dtype)
+
+
+def _lane_halve(x, pmat):
+    """(r, n) -> (r, n/2), out[:, j] = x[:, 2j] + x[:, 2j+1]."""
+    c = pmat.shape[0]
+    n_ = x.shape[1]
+    parts = [
+        jax.lax.dot_general(x[:, k * c:(k + 1) * c], pmat,
+                            (((1,), (0,)), ((), ())), precision=_HI,
+                            preferred_element_type=x.dtype)
+        for k in range(n_ // c)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _lane_double(x, emat):
+    """(r, n/2) -> (r, n), out[:, 2j] = out[:, 2j+1] = x[:, j]."""
+    ch = emat.shape[0]                      # C/2 input lanes per chunk
+    n_ = x.shape[1]
+    parts = [
+        jax.lax.dot_general(x[:, k * ch:(k + 1) * ch], emat,
+                            (((1,), (0,)), ((), ())), precision=_HI,
+                            preferred_element_type=x.dtype)
+        for k in range(n_ // ch)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _bilinear_blend_2d(R, top_row, bot_row, is_first, is_last, n_lanes):
+    """Face-adapted bilinear blend in fine space on an expanded stripe.
+
+    R: injected (piecewise-constant) fine stripe value (r, n_lanes),
+    whose local row 0 sits at an EVEN global fine row (so global row
+    parity == local row parity).  top_row/bot_row: static local row
+    indices of global rows 0 and n-1 (meaningful only when the traced
+    is_first/is_last booleans select them).  Matches
+    mgpoisson.kernels.xla.prolong(kind='bilinear'): per axis
+    out = a*R + b*S(R), S the parity +-2 shift, (a, b) = (0.75, 0.25)
+    interior / (0.5, 0) at the global edges.
+    """
+    dtype = R.dtype
+    zr2 = jnp.zeros_like(R[:2, :])
+    Rm = jnp.concatenate([zr2, R[:-2, :]], axis=0)
+    Rp = jnp.concatenate([R[2:, :], zr2], axis=0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, R.shape, 0)
+    S0 = jnp.where(ridx % 2 == 0, Rm, Rp)
+    # global row-edge weights (first/last stripes only)
+    row_edge = (is_first & (ridx == top_row)) | (is_last & (ridx == bot_row))
+    a0 = jnp.where(row_edge, jnp.asarray(0.5, dtype),
+                   jnp.asarray(0.75, dtype))
+    b0 = jnp.where(row_edge, jnp.asarray(0.0, dtype),
+                   jnp.asarray(0.25, dtype))
+    out = a0 * R + b0 * S0
+    # lanes: +-2 shift with parity select; global edges are static
+    zc2 = jnp.zeros_like(out[:, :2])
+    Cm = jnp.concatenate([zc2, out[:, :-2]], axis=1)
+    Cp = jnp.concatenate([out[:, 2:], zc2], axis=1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    S1 = jnp.where(cidx % 2 == 0, Cm, Cp)
+    lane_edge = (cidx == 0) | (cidx == n_lanes - 1)
+    a1 = jnp.where(lane_edge, jnp.asarray(0.5, dtype),
+                   jnp.asarray(0.75, dtype))
+    b1 = jnp.where(lane_edge, jnp.asarray(0.0, dtype),
+                   jnp.asarray(0.25, dtype))
+    return a1 * out + b1 * S1
+
+
+# =====================================================================
+# fused V-cycle half-levels: one Pallas program each
+#   down: nu smoother sweeps -> residual -> 2x2 restrict   (u, R out)
+#   up:   prolong(V) + correct -> nu smoother sweeps       (u out)
+# u and f cross HBM once per half-level; r and the prolonged v never
+# exist in HBM at all (the reference launches 2 kernels per sweep plus
+# 4 transfer kernels per half-level, `gpu.lua:296-346`).
+# =====================================================================
+
+
+def _fused_plan(n, nu, smoother, itemsize):
+    """Stripe geometry for the fused half-level kernels.  The down
+    kernel needs one extra exact halo ring after the sweeps for the
+    residual stencil, hence radius*nu + 1."""
+    radius = 2 if smoother == "rbgs" else 1
+    halo = -(-(radius * nu + 1) // 8) * 8
+    return halo, _pick_bm(n, halo, itemsize, n_bufs=6)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret", "halo", "bm"))
+def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
+                     interpret: bool, halo: int, bm: int):
+    """nu sweeps, then R = restrict(residual(u, f)); one HBM round trip.
+
+    Returns (u_smoothed, R).  Interior stripe rows are exact after nu
+    in-VMEM sweeps; the halo keeps >= 1 extra exact ring so the
+    residual's neighbor reads are exact on the interior.
+    """
+    n = u.shape[0]
+    dtype = u.dtype
+    n_stripes = n // bm
+    assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    R_ = bm + 2 * halo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+    pmat = _halve_mat(n, dtype)
+
+    def kernel(u_hbm, f_hbm, p_hbm, out_hbm, rout_hbm,
+               us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+               p_sem):
+        pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
+        pdma.start()
+
+        def issue(i, slot):
+            _stripe_in("start", u_hbm, us, in_sems.at[slot, 0], i, slot,
+                       bm, halo, n_stripes)
+            _stripe_in("start", f_hbm, fs, in_sems.at[slot, 1], i, slot,
+                       bm, halo, n_stripes)
+
+        issue(0, 0)
+        pdma.wait()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                issue(i + 1, jax.lax.rem(i + 1, 2))
+
+            _stripe_in("wait", u_hbm, us, in_sems.at[slot, 0], i, slot,
+                       bm, halo, n_stripes)
+            _stripe_in("wait", f_hbm, fs, in_sems.at[slot, 1], i, slot,
+                       bm, halo, n_stripes)
+
+            is_first = i == 0
+            is_last = i == n_stripes - 1
+            uv = _sweeps(us[slot], fs[slot], nu, smoother, bc, hsq, 0.0,
+                         halo, bm, is_first, is_last)
+            # ghost rows must hold boundary data for the residual reads
+            uv = _apply_row_bc(uv, bc, is_first, is_last, halo - 1,
+                               halo + bm)
+
+            # residual on the full (sublane-aligned) stripe, interior
+            # sliced after — Mosaic cannot lane-concat values carrying
+            # an odd sublane offset, so no odd-offset row windows
+            rv_full = fs[slot] - (_nbr(uv, bc) - 4.0 * uv) \
+                * jnp.asarray(inv_hsq, dtype)
+            rv = rv_full[halo:halo + bm, :]
+            # 2x2 restrict: rows by sublane reshape, lanes on the MXU
+            s = rv.reshape(bm // 2, 2, n).sum(axis=1)
+            Rv = _lane_halve(s, pv[:]) * jnp.asarray(0.25, dtype)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot], rout_hbm.at[pl.ds(0, bm // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = uv[halo:halo + bm, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(i * (bm // 2), 8),
+                                  bm // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+
+        for k in (n_stripes - 2, n_stripes - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot], rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
+                   jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_, n), dtype),            # u stripes
+            pltpu.VMEM((2, R_, n), dtype),            # f stripes
+            pltpu.VMEM(pmat.shape, dtype),            # lane-halve matrix
+            pltpu.VMEM((2, bm, n), dtype),            # u out stripes
+            pltpu.VMEM((2, bm // 2, n // 2), dtype),  # R out stripes
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, pmat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
+                     "halo", "bm"))
+def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
+                     kind: str, interpret: bool, halo: int, bm: int):
+    """u += P(V) then nu sweeps; one HBM round trip (V read once).
+
+    The coarse stripe is loaded with an 8-row coarse halo (16 fine rows
+    >= halo + 2, covering both the sweeps' dependency radius and the
+    bilinear +-2 shift); stale clipped rows fall in the fine ghost
+    region, which the per-sweep boundary fixups overwrite.
+    """
+    n = u.shape[0]
+    nc = n // 2
+    dtype = u.dtype
+    n_stripes = n // bm
+    assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    assert halo <= 14, "coarse halo of 8 covers fine halo + bilinear shift"
+    R_ = bm + 2 * halo
+    chalo = 8
+    Rc = bm // 2 + 2 * chalo
+    hsq = h * h
+    emat = _double_mat(n, dtype)
+
+    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm,
+               us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+        edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
+        edma.start()
+
+        def issue(i, slot):
+            _stripe_in("start", u_hbm, us, in_sems.at[slot, 0], i, slot,
+                       bm, halo, n_stripes)
+            _stripe_in("start", f_hbm, fs, in_sems.at[slot, 1], i, slot,
+                       bm, halo, n_stripes)
+            _stripe_in("start", v_hbm, vs, in_sems.at[slot, 2], i, slot,
+                       bm // 2, chalo, n_stripes)
+
+        issue(0, 0)
+        edma.wait()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                issue(i + 1, jax.lax.rem(i + 1, 2))
+
+            _stripe_in("wait", u_hbm, us, in_sems.at[slot, 0], i, slot,
+                       bm, halo, n_stripes)
+            _stripe_in("wait", f_hbm, fs, in_sems.at[slot, 1], i, slot,
+                       bm, halo, n_stripes)
+            _stripe_in("wait", v_hbm, vs, in_sems.at[slot, 2], i, slot,
+                       bm // 2, chalo, n_stripes)
+
+            is_first = i == 0
+            is_last = i == n_stripes - 1
+            # expand the coarse stripe to fine rows [i*bm - 2*chalo, ...)
+            v2 = jnp.repeat(vs[slot], 2, axis=0)      # (bm + 4*chalo, nc)
+            vf = _lane_double(v2, ev[:])              # (bm + 4*chalo, n)
+            if kind == "bilinear":
+                # zero the clipped (stale-scratch) ghost region first:
+                # the blend's +-2 shift reads it at the grid edges, and
+                # its 0-weight would still propagate stale NaNs (0*nan)
+                ridx = jax.lax.broadcasted_iota(jnp.int32,
+                                                (vf.shape[0], 1), 0)
+                vf = jnp.where(is_first & (ridx < 2 * chalo), 0.0, vf)
+                vf = jnp.where(is_last & (ridx >= bm + 2 * chalo), 0.0, vf)
+                # local row of global row 0 on the first stripe is
+                # 2*chalo; of global row n-1 on the last, bm+2*chalo-1
+                vf = _bilinear_blend_2d(vf, 2 * chalo, bm + 2 * chalo - 1,
+                                        is_first, is_last, n)
+            # slice to the u stripe's rows [i*bm - halo, i*bm + bm + halo)
+            vf = vf[2 * chalo - halo:2 * chalo - halo + R_, :]
+
+            uv = us[slot] + vf
+            uv = _sweeps(uv, fs[slot], nu, smoother, bc, hsq, 0.0,
+                         halo, bm, is_first, is_last)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[halo:halo + bm, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+
+        for k in (n_stripes - 2, n_stripes - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_, n), dtype),        # u stripes
+            pltpu.VMEM((2, R_, n), dtype),        # f stripes
+            pltpu.VMEM((2, Rc, nc), dtype),       # V stripes
+            pltpu.VMEM(emat.shape, dtype),        # lane-double matrix
+            pltpu.VMEM((2, bm, n), dtype),        # out stripes
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, V, emat)
+
+
+# --------------------------- whole-VMEM fused variants (small levels)
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "nu", "smoother", "bc", "interpret"))
+def _rr_whole(u, f, *, h, nu, smoother, bc, interpret):
+    n = u.shape[0]
+    dtype = u.dtype
+    hsq = h * h
+    pmat = _halve_mat(n, dtype)
+
+    def kernel(u_ref, f_ref, p_ref, out_ref, rout_ref):
+        uv = _whole_sweeps(u_ref[:], f_ref[:], nu, smoother, bc, hsq)
+        out_ref[:] = uv
+        fv = f_ref[:]
+        rv = fv - (_nbr_full(uv, bc) - 4.0 * uv) * jnp.asarray(
+            1.0 / hsq, dtype)
+        s = rv.reshape(n // 2, 2, n).sum(axis=1)
+        rout_ref[:] = _lane_halve(s, p_ref[:]) * jnp.asarray(0.25, dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
+                   jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(u, f, pmat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret"))
+def _pc_whole(u, f, V, *, h, nu, smoother, bc, kind, interpret):
+    n = u.shape[0]
+    dtype = u.dtype
+    hsq = h * h
+    emat = _double_mat(n, dtype)
+
+    def kernel(u_ref, f_ref, v_ref, e_ref, out_ref):
+        v2 = jnp.repeat(v_ref[:], 2, axis=0)
+        vf = _lane_double(v2, e_ref[:])
+        if kind == "bilinear":
+            vf = _bilinear_blend_2d(vf, 0, n - 1, True, True, n)
+        uv = u_ref[:] + vf
+        out_ref[:] = _whole_sweeps(uv, f_ref[:], nu, smoother, bc, hsq)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(u, f, V, emat)
+
+
+def _whole_sweeps(uv, fv, nu, smoother, bc, hsq):
+    """nu smoother sweeps on a full-grid value (both bcs inline)."""
+    dtype = uv.dtype
+    n = uv.shape[0]
+    c1 = fv * jnp.asarray(-hsq * 0.25, dtype)
+    quarter = jnp.asarray(0.25, dtype)
+    omega = 0.8
+    one_m_om = jnp.asarray(1.0 - omega, dtype)
+    om_quarter = jnp.asarray(omega * 0.25, dtype)
+    c1w = fv * jnp.asarray(-hsq * 0.25 * omega, dtype)
+    if smoother == "rbgs":
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        parity = (rows + cols) % 2
+    for _ in range(nu):
+        if smoother == "jacobi":
+            uv = _nbr_full(uv, bc) * quarter + c1
+        elif smoother == "wjacobi":
+            uv = one_m_om * uv + _nbr_full(uv, bc) * om_quarter + c1w
+        else:
+            for p in (0, 1):
+                upd = _nbr_full(uv, bc) * quarter + c1
+                uv = jnp.where(parity == p, upd, uv)
+    return uv
+
+
 # ------------------------------------------------- composite (fused) ops
-# One call per V-cycle half-level.  A fully in-kernel version of these
-# (smoother + residual + row-pair restrict in one Pallas program, and
-# lane-expanded prolongation + correction + smoother in another) was
-# built and measured: Mosaic compile time explodes (450 s for the
-# pre-half kernel) and the runtime LOSES to the composite below (the
-# XLA reduce_window / repeat transfer paths overlap better than the
-# hand-fused VMEM blends).  The composite keeps the Pallas multi-sweep
-# smoother where fusion pays and XLA where its native paths win.
+# One call per V-cycle half-level.  (Round 1's attempt at these blew up
+# Mosaic compile time by interleaving lanes with iota/where blends; the
+# MXU selection-matmul lane ops above lower cleanly and the XLA
+# reduce_window / repeat paths they replace measured only ~210-380 GB/s
+# at 4096^2 — far off the claimed roofline.)
+
+def _fused_plan_or_whole(u, nu, smoother):
+    """Returns ('striped', halo, bm) | ('whole', 0, 0) | None."""
+    if not _supported(u) or nu < 1:
+        return None
+    if nu > (4 if smoother == "rbgs" else 8):
+        return None
+    n = u.shape[0]
+    if min(_LANE_CHUNK, n) and n % min(_LANE_CHUNK, n) != 0:
+        return None
+    itemsize = jnp.dtype(u.dtype).itemsize
+    halo, bm = _fused_plan(n, nu, smoother, itemsize)
+    if (n // bm >= 2 and bm > 2 * halo and bm % 16 == 0 and halo <= 14):
+        return ("striped", halo, bm)
+    if 5 * n * n * itemsize <= _VMEM_BUDGET:
+        return ("whole", 0, 0)
+    return None
+
 
 def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     """pre-smooth x nu, then R = restrict(residual). Returns (u, R)."""
+    plan = _fused_plan_or_whole(u, nu, smoother)
+    if plan is not None:
+        mode, halo, bm = plan
+        if mode == "striped":
+            return _smooth_rr_fused(u, f, h=float(h), nu=nu,
+                                    smoother=smoother, bc=bc,
+                                    interpret=_interpret(), halo=halo,
+                                    bm=bm)
+        return _rr_whole(u, f, h=float(h), nu=nu, smoother=smoother,
+                         bc=bc, interpret=_interpret())
     u = smooth(u, f, h, nu, smoother, bc)
     return u, xla.residual_restrict(u, f, h, bc)
 
@@ -410,6 +877,16 @@ def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
 def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
                            kind="inject"):
     """u += P(V), then post-smooth x nu."""
+    plan = _fused_plan_or_whole(u, nu, smoother)
+    if plan is not None:
+        mode, halo, bm = plan
+        if mode == "striped":
+            return _pc_smooth_fused(u, f, V, h=float(h), nu=nu,
+                                    smoother=smoother, bc=bc, kind=kind,
+                                    interpret=_interpret(), halo=halo,
+                                    bm=bm)
+        return _pc_whole(u, f, V, h=float(h), nu=nu, smoother=smoother,
+                         bc=bc, kind=kind, interpret=_interpret())
     u = xla.prolong_correct(u, V, kind)
     return smooth(u, f, h, nu, smoother, bc)
 
