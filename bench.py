@@ -1,22 +1,35 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: smoother per-sweep effective bandwidth (GB/s) at 4096^2 f32
-on one chip — useful work (nu sweeps x 3 arrays each) / wall time of
-the fused multi-sweep kernel.  vs_baseline is the fraction of the
-BASELINE.md target (a sweep at 80% of the v5e HBM roofline,
-0.8 * 819 GB/s); >1.0 beats the target, and values above the raw peak
-are real — that is what fusing all nu sweeps into one HBM round trip
-buys.  The single-round-trip (min-traffic) number is in extras.
+Headline (honest physical number): the fused multi-sweep smoother's
+HBM round-trip bandwidth — (read u + read f + write u) = 3 arrays
+divided by kernel wall time — measured at nu=2, the deepest fusion
+that stays DMA-bound on v5e.  vs_baseline is that number over the
+BASELINE.md target (80% of the 819 GB/s v5e HBM roofline = 655 GB/s);
+>= 1.0 means the kernel's DMA pipeline meets the roofline target.
 
-Also reported in "extra": V-cycle wall time at 4096^2, V-cycles to
-1e-10 relative residual (north star: <10), per-op timings, and solve
-wall time.  On non-TPU hosts a reduced size keeps the harness runnable.
+At the tuned scheme's production depth (nu=3) the same kernel becomes
+VPU-bound: it spends longer computing the third sweep than the single
+round trip takes, so its physical bandwidth drops below the target
+while its per-sweep effective bandwidth (nu*3 arrays of useful work
+per round trip — what an unfused implementation would have to move)
+rises to ~1.9x the roofline.  Both numbers are reported in extras,
+labeled for what they are.
 
-Timing method: chained applications inside one jit (lax.scan) at two
-lengths; the difference cancels fixed dispatch/sync overhead.  A scalar
-readback forces a true device sync (block_until_ready alone does not
-synchronize through remote-relay transports).
+Also in extras: fused half-level kernel times (pre-smooth+residual+
+restrict and prolong+correct+post-smooth), V-cycle wall time at 4096^2,
+V-cycles to 1e-10 relative residual (north star: <10), 3D V-cycle at
+256^3 (Pallas-blocked smoother), solve wall time, and the 16384^2
+single-chip config-5 numbers (guarded: compile payloads at that size
+can exceed the remote-compile relay's request limit — reported null if
+so).  On non-TPU hosts a reduced size keeps the harness runnable.
+
+Timing: chained applications inside one jit (lax.scan) at two lengths;
+the difference cancels fixed dispatch/sync overhead.  A scalar readback
+forces a true device sync (block_until_ready alone does not synchronize
+through remote-relay transports).  Long chains (k2-k1 >= 200 kernel
+applications) keep the delta well above relay jitter — short chains
+were measured to mis-time sub-ms kernels by 2x either way.
 
 This is the TPU rebuild of the reference's wall-time harness
 (`test/test.lua:44-76`); kernel-level GB/s replaces its TODO'd OpenCL
@@ -25,6 +38,7 @@ event timing (`test/test-gpu-obj.lua:268`).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -34,21 +48,25 @@ import jax.numpy as jnp
 V5E_HBM_GBPS = 819.0           # v5e HBM peak
 TARGET_FRACTION = 0.8          # BASELINE.md: >=80% of roofline
 
-
 from mgpoisson.bench.timing import chain_time, sync as _sync
 
 
 def main():
     from mgpoisson import MultigridPoisson, Spec
     from mgpoisson.kernels import get_ops
+    from mgpoisson.cycle.vcycle import v_cycle
 
     platform = jax.default_backend()
     on_tpu = platform == "tpu"
     size = 4096 if on_tpu else 512
+    # long chains for sub-ms kernels on TPU; short everywhere else
+    kt = functools.partial(chain_time, k1=20, k2=220, tries=5) if on_tpu \
+        else chain_time
 
     spec = Spec(size=size, dtype="float32", scheme="tuned", backend="auto",
                 stop="residual", tol=1e-10)
     nu = spec.nu_pre
+    sm = spec.smoother_resolved
     mg = MultigridPoisson(spec)
     f = mg.rhs()
     psi = mg.init_state(f)
@@ -57,73 +75,107 @@ def main():
 
     bytes_per = jnp.dtype(spec.dtype).itemsize
     n_cells = size * size
+    GB = lambda arrays: arrays * n_cells * bytes_per / 1e9
 
-    # --- smoother: nu fused sweeps in one kernel.  Headline = per-sweep
-    # effective bandwidth (the standard fused-stencil convention: an
-    # unfused sweep moves read u + read f + write u = 3 arrays, so nu
-    # sweeps are nu*3 arrays of useful work; the fused kernel does them
-    # in a single ~3-array round trip, which is exactly how it beats the
-    # per-sweep roofline).  The raw single-round-trip number is in extras.
-    t_smooth = chain_time(
-        lambda u: ops.smooth(u, f, h, nu, spec.smoother_resolved, "ghost0"),
-        psi)
-    smoother_gbps = nu * 3 * n_cells * bytes_per / t_smooth / 1e9
-    smoother_min_traffic_gbps = 3 * n_cells * bytes_per / t_smooth / 1e9
+    # --- headline: smoother HBM round trip at its DMA-bound depth (nu=2)
+    t_s2 = kt(lambda u, ff: ops.smooth(u, ff, h, 2, sm, "ghost0"), psi,
+              consts=(f,))
+    smoother_roundtrip_gbps = GB(3) / t_s2
+
+    # --- production depth (scheme nu): physical + per-sweep effective
+    t_s = kt(lambda u, ff: ops.smooth(u, ff, h, nu, sm, "ghost0"), psi,
+             consts=(f,))
+    smoother_nu_phys_gbps = GB(3) / t_s
+    smoother_nu_effective_gbps = GB(3 * nu) / t_s
+
+    # --- fused half-level kernels (one HBM round trip each)
+    t_rr = kt(lambda u, ff: ops.smooth_residual_restrict(
+        u, ff, h, nu, sm, "ghost0")[0], psi, consts=(f,))
+    V = jnp.zeros((size // 2,) * 2, psi.dtype)
+    t_pc = kt(lambda u, ff, VV: ops.prolong_correct_smooth(
+        u, ff, VV, h, nu, sm, "ghost0", spec.prolong_kind), psi,
+        consts=(f, V))
 
     # --- full V-cycle
-    from mgpoisson.cycle.vcycle import v_cycle
-    t_vcycle = chain_time(lambda u: v_cycle(u, f, h, spec), psi)
+    t_vcycle = kt(lambda u, ff: v_cycle(u, ff, h, spec), psi, consts=(f,))
 
-    # --- fused residual+restrict + prolong+correct round trip
-    t_rrpc = chain_time(
-        lambda u: ops.prolong_correct(
-            u, ops.residual_restrict(u, f, h, "ghost0"), spec.prolong_kind),
-        psi)
-
-    # --- 3D (BASELINE config 4): 256^3 V-cycle, 7-point Laplacian
+    # --- 3D (BASELINE config 4): 256^3 V-cycle, 7-point Laplacian,
+    # Pallas-blocked fused smoother on TPU
     size3 = 256 if on_tpu else 64
     spec3 = Spec(size=size3, ndim=3, dtype="float32", scheme="tuned",
-                 backend="xla", pre_smooth=nu, post_smooth=nu)
+                 backend="auto" if on_tpu else "xla",
+                 pre_smooth=nu, post_smooth=nu)
     f3 = jnp.zeros((size3,) * 3, jnp.float32).at[
         (size3 // 2,) * 3].set(-1e6)
     t_vcycle3 = chain_time(
-        lambda u: v_cycle(u, f3, spec3.fine_h, spec3), -f3)
+        lambda u, ff: v_cycle(u, ff, spec3.fine_h, spec3), -f3,
+        consts=(f3,))
 
     # --- V-cycles and wall time to 1e-10 relative residual (north star <10)
     res = mg.solve(f)          # compile outside the timed region
     _sync(res.psi)
-    psi0 = mg.init_state(f)
     t0 = time.perf_counter()
-    res = mg.solve(f, psi0=psi0)
+    res = mg.solve(f, psi0=mg.init_state(f))
     _sync(res.psi)
     t_solve = time.perf_counter() - t0
     cycles_to_tol = res.iterations if res.converged else -1
 
+    # --- config 5 single chip: 16384^2 (guarded: the unrolled 14-level
+    # program can exceed the remote-compile relay's payload limit)
+    cfg5 = {"vcycle_time_ms": None, "cycles": None, "solve_wall_s": None}
+    if on_tpu:
+        try:
+            spec5 = Spec(size=16384, dtype="float32", scheme="tuned",
+                         stop="residual", tol=1e-10)
+            mg5 = MultigridPoisson(spec5)
+            f5 = mg5.rhs()
+            psi5 = mg5.init_state(f5)
+            t5 = chain_time(lambda u, ff: v_cycle(u, ff, spec5.fine_h,
+                                                  spec5),
+                            psi5, k1=4, k2=24, tries=3, consts=(f5,))
+            res5 = mg5.solve(f5)
+            _sync(res5.psi)
+            t0 = time.perf_counter()
+            res5 = mg5.solve(f5, psi0=mg5.init_state(f5))
+            _sync(res5.psi)
+            cfg5 = {"vcycle_time_ms": round(t5 * 1e3, 4),
+                    "cycles": res5.iterations if res5.converged else -1,
+                    "solve_wall_s": round(time.perf_counter() - t0, 4)}
+        except Exception as e:  # pragma: no cover - relay-dependent
+            cfg5["error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
     target = TARGET_FRACTION * V5E_HBM_GBPS
     out = {
-        "metric": f"smoother_per_sweep_effective_bandwidth_{size}x{size}_f32",
-        "value": round(smoother_gbps, 2),
+        "metric": f"smoother_hbm_roundtrip_gbps_{size}x{size}_f32",
+        "value": round(smoother_roundtrip_gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(smoother_gbps / target, 4),
+        "vs_baseline": round(smoother_roundtrip_gbps / target, 4),
         "extra": {
-            "metric_note": ("per-sweep effective = nu*3 arrays of useful "
-                            "work / fused-kernel time; scales with the "
-                            "scheme's nu by design — the physical "
-                            "single-round-trip number is "
-                            "smoother_min_traffic_gbps"),
+            "metric_note": ("physical 3-array round trip / fused-kernel "
+                            "time at nu=2 (the deepest DMA-bound fusion); "
+                            "at the scheme's nu=3 the kernel is VPU-bound "
+                            "- see smoother_nu* fields"),
             "platform": platform,
             "size": size,
-            "smoother": spec.smoother_resolved,
+            "smoother": sm,
             "nu": nu,
             "backend_fine_level": ops.__name__.split(".")[-1],
-            "smoother_time_ms": round(t_smooth * 1e3, 4),
-            "smoother_min_traffic_gbps": round(smoother_min_traffic_gbps, 2),
+            "smoother_nu2_time_ms": round(t_s2 * 1e3, 4),
+            "smoother_nu_time_ms": round(t_s * 1e3, 4),
+            "smoother_nu_phys_gbps": round(smoother_nu_phys_gbps, 2),
+            "smoother_nu_effective_gbps":
+                round(smoother_nu_effective_gbps, 2),
+            "rr_fused_time_ms": round(t_rr * 1e3, 4),
+            "pc_fused_time_ms": round(t_pc * 1e3, 4),
+            "rr_plus_pc_minus_smooth_ms":
+                round((t_rr + t_pc - 2 * t_s) * 1e3, 4),
             "vcycle_time_ms": round(t_vcycle * 1e3, 4),
-            "rr_plus_pc_time_ms": round(t_rrpc * 1e3, 4),
             "vcycle3d_time_ms": round(t_vcycle3 * 1e3, 4),
             "size3d": size3,
+            "backend_3d": get_ops(spec3, size3).__name__.split(".")[-1],
             "vcycles_to_1e-10_relres": cycles_to_tol,
             "solve_wall_s": round(t_solve, 4),
+            "config5_16384": cfg5,
             "roofline_target_gbps": target,
         },
     }

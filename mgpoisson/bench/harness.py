@@ -79,8 +79,8 @@ def _time_variant(variant: str, size: int, cycles: int, tries: int) -> float:
     delta = max(40, min(4000, (4096 // size) ** 2 * 40))
     best = float("inf")
     for _ in range(tries):
-        t = chain_time(lambda c: v_cycle(c, f, h, spec), -f,
-                       k1=10, k2=10 + delta, tries=1)
+        t = chain_time(lambda c, ff: v_cycle(c, ff, h, spec), -f,
+                       k1=10, k2=10 + delta, tries=1, consts=(f,))
         best = min(best, t)
     return best
 

@@ -26,28 +26,36 @@ def sync(out) -> None:
     float(leaf.ravel()[0])
 
 
-def chain_time(fn, x, k1: int = 10, k2: int = 60, tries: int = 5) -> float:
-    """Median per-application seconds of x -> fn(x)."""
+def chain_time(fn, x, k1: int = 10, k2: int = 60, tries: int = 5,
+               consts=()) -> float:
+    """Median per-application seconds of x -> fn(x).
+
+    Extra operands the caller would otherwise close over (the RHS f,
+    a coarse V, ...) can be passed via consts=(...) and are forwarded to
+    fn(c, *consts).  Pass large arrays THIS way: a closed-over device
+    array becomes a jit constant that is serialized into the compile
+    payload — a 16384^2 f32 closure adds a 1 GB literal and gets the
+    remote-compile request rejected outright (HTTP 413)."""
 
     def rep(k):
         @jax.jit
-        def g(x):
+        def g(x, *cs):
             def body(c, _):
-                return fn(c), None
+                return fn(c, *cs), None
             c, _ = jax.lax.scan(body, x, None, length=k)
             return c
         return g
 
     g1, g2 = rep(k1), rep(k2)
-    sync(g1(x))
-    sync(g2(x))
+    sync(g1(x, *consts))
+    sync(g2(x, *consts))
     samples = []
     for _ in range(tries):
         t0 = time.perf_counter()
-        sync(g1(x))
+        sync(g1(x, *consts))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(g2(x))
+        sync(g2(x, *consts))
         t2 = time.perf_counter() - t0
         samples.append((t2 - t1) / (k2 - k1))
     samples.sort()

@@ -40,8 +40,18 @@ def get_ops(spec, level_size: int):
         # by XLA).  Per-shard Pallas inside shard_map is the future
         # path (mgpoisson.shard.spmd currently uses XLA ops per shard).
         return xla
+    if spec.ndim == 3:
+        # 3D: the fused multi-sweep smoother is Pallas (the other ops
+        # delegate to XLA inside the module); size gating happens in
+        # pallas._supported3 by total bytes, so level_size isn't
+        # compared against pallas_min_size here
+        if spec.backend == "pallas" or (
+                spec.backend == "auto" and _tpu_available()):
+            from mgpoisson.kernels import pallas as pallas_ops
+            return pallas_ops
+        return xla
     if spec.ndim != 2:
-        return xla  # Pallas path is 2D-specialized for now
+        return xla
     use_pallas = spec.backend == "pallas" or (
         spec.backend == "auto"
         and _tpu_available()

@@ -280,9 +280,9 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, n), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, R, n), dtype),      # u stripes
             pltpu.VMEM((2, R, n), dtype),      # f stripes
@@ -355,12 +355,292 @@ def _nbr_full(u, bc):
 
 
 # =====================================================================
+# 3D fused multi-sweep smoother (7-point Laplacian, BASELINE config 4)
+# =====================================================================
+# Same deep-halo trapezoid scheme as the 2D kernel, blocked over the
+# two leading axes: (z, y) blocks with the full x row in lanes.  The z
+# axis is untiled on TPU (the (8,128) tile covers (y, x)), so its DMA
+# offsets need no alignment and the z halo is exactly the dependency
+# radius; the y halo rounds up to the 8-row sublane tile.
+
+MIN_BYTES_3D = 32 * 1024 * 1024   # below this, XLA sweeps win
+
+
+def _plan3d(shape, nu, smoother, itemsize):
+    """Pick (hz, bz, by) block geometry for a 3D fused smooth, or None.
+    Working set: u,f double-buffered (Rz,Ry,nx) + out double (bz,by,nx)."""
+    nz, ny, nx = shape
+    radius = 2 if smoother == "rbgs" else 1
+    hz = radius * nu
+    hy = 8
+    if hz > hy:
+        return None
+    best = None
+    for bz in (32, 16, 8, 4):
+        if nz % bz or nz // bz < 2:
+            continue
+        for by in (256, 128, 64, 32):
+            if ny % by or ny // by < 1:
+                continue
+            Rz, Ry = bz + 2 * hz, by + 2 * hy
+            vmem = itemsize * nx * (4 * Rz * Ry + 2 * bz * by)
+            if vmem > _VMEM_BUDGET:
+                continue
+            util = (bz * by) / (Rz * Ry)
+            if best is None or util > best[0]:
+                best = (util, hz, bz, by)
+    if best is None:
+        return None
+    return best[1:]
+
+
+def _axis_cases(i, base, halo, n_str):
+    """Clipped-window DMA cases for one blocked axis: list of
+    (cond_or_None, src_start, size, dst_start).  Window i covers
+    [i*base - halo, i*base + base + halo) clipped to [0, n)."""
+    R = base + 2 * halo
+    if halo == 0:
+        return [(None, i * base, base, 0)]
+    if n_str == 1:
+        return [(None, 0, base, halo)]
+    # jnp.maximum keeps untaken-branch starts nonnegative when i is a
+    # concrete 0 (the pipeline's initial issue); taken branches always
+    # have i*base - halo >= 0
+    start = jnp.maximum(i * base - halo, 0)
+    cases = [(i == 0, 0, R - halo, halo),
+             (i == n_str - 1, start, R - halo, 0)]
+    if n_str > 2:
+        cases.append(((i > 0) & (i < n_str - 1), start, R, 0))
+    return cases
+
+
+def _block_in_3d(op, hbm, vref, sem, iz, iy, slot,
+                 bz, hz, nzs, by, hy, nys):
+    """Start/wait a (z, y)-clipped block DMA; x stays whole."""
+    for cz, sz, lz, dz in _axis_cases(iz, bz, hz, nzs):
+        for cy, sy, ly, dy in _axis_cases(iy, by, hy, nys):
+            cond = None
+            if cz is not None:
+                cond = cz
+            if cy is not None:
+                cond = cy if cond is None else cond & cy
+            sy_al = sy if isinstance(sy, int) else pl.multiple_of(sy, 8)
+
+            def dma(sz=sz, lz=lz, dz=dz, sy=sy_al, ly=ly, dy=dy):
+                getattr(pltpu.make_async_copy(
+                    hbm.at[pl.ds(sz, lz), pl.ds(sy, ly)],
+                    vref.at[slot, pl.ds(dz, lz), pl.ds(dy, ly)],
+                    sem), op)()
+
+            if cond is None:
+                dma()
+            else:
+                pl.when(cond)(dma)
+
+
+def _apply_bc_3d(u, bc, zf, zl, yf, yl, hz, bz, hy, by):
+    """Global boundary fixups on the z and y axes of a (Rz, Ry, nx)
+    block value (x is handled inline by _nbr3).  zf/zl/yf/yl: traced
+    booleans — does this block touch the global first/last z/y edge."""
+    Rz, Ry, _ = u.shape
+    ziota = jax.lax.broadcasted_iota(jnp.int32, (Rz, 1, 1), 0)
+    yiota = jax.lax.broadcasted_iota(jnp.int32, (1, Ry, 1), 1)
+    zg0, zg1 = hz - 1, hz + bz       # ghost plane just outside the grid
+    yg0, yg1 = hy - 1, hy + by
+    if bc == "ghost0":
+        u = jnp.where(zf & (ziota <= zg0), 0.0, u)
+        u = jnp.where(zl & (ziota >= zg1), 0.0, u)
+        u = jnp.where(yf & (yiota <= yg0), 0.0, u)
+        u = jnp.where(yl & (yiota >= yg1), 0.0, u)
+    else:  # face: ghost = -edge (static slices)
+        u = jnp.where(zf & (ziota == zg0), -u[zg0 + 1:zg0 + 2], u)
+        u = jnp.where(zf & (ziota < zg0), 0.0, u)
+        u = jnp.where(zl & (ziota == zg1), -u[zg1 - 1:zg1], u)
+        u = jnp.where(zl & (ziota > zg1), 0.0, u)
+        u = jnp.where(yf & (yiota == yg0), -u[:, yg0 + 1:yg0 + 2], u)
+        u = jnp.where(yf & (yiota < yg0), 0.0, u)
+        u = jnp.where(yl & (yiota == yg1), -u[:, yg1 - 1:yg1], u)
+        u = jnp.where(yl & (yiota > yg1), 0.0, u)
+    return u
+
+
+def _nbr3(u, bc):
+    """7-point neighbor sum on a (Rz, Ry, nx) value; x BC inline, z/y
+    are the caller's job (halo recompute + _apply_bc_3d)."""
+    zp = jnp.zeros_like(u[:1])
+    up = jnp.concatenate([zp, u[:-1]], axis=0)
+    dn = jnp.concatenate([u[1:], zp], axis=0)
+    yp = jnp.zeros_like(u[:, :1])
+    no = jnp.concatenate([yp, u[:, :-1]], axis=1)
+    so = jnp.concatenate([u[:, 1:], yp], axis=1)
+    if bc == "face":
+        lf = jnp.concatenate([-u[:, :, :1], u[:, :, :-1]], axis=2)
+        rt = jnp.concatenate([u[:, :, 1:], -u[:, :, -1:]], axis=2)
+    else:
+        xp = jnp.zeros_like(u[:, :, :1])
+        lf = jnp.concatenate([xp, u[:, :, :-1]], axis=2)
+        rt = jnp.concatenate([u[:, :, 1:], xp], axis=2)
+    return (up + dn) + (no + so) + (lf + rt)
+
+
+def _sweeps3(uv, fv, nu, smoother, bc, hsq, hz, bz, hy, by,
+             zf, zl, yf, yl):
+    """nu in-VMEM 7-point sweeps on a block value with per-sweep
+    z/y boundary fixups."""
+    dtype = uv.dtype
+    sixth = jnp.asarray(1.0 / 6.0, dtype)
+    c1 = fv * jnp.asarray(-hsq / 6.0, dtype)
+    omega = 6.0 / 7.0  # 2d/(2d+1), d=3
+    one_m_om = jnp.asarray(1.0 - omega, dtype)
+    om_sixth = jnp.asarray(omega / 6.0, dtype)
+    c1w = fv * jnp.asarray(-hsq / 6.0 * omega, dtype)
+    if smoother == "rbgs":
+        Rz, Ry, nx = uv.shape
+        par = (jax.lax.broadcasted_iota(jnp.int32, (Rz, 1, 1), 0) + hz
+               + jax.lax.broadcasted_iota(jnp.int32, (1, Ry, 1), 1) + hy
+               + jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)) % 2
+
+    def bcfix(x):
+        return _apply_bc_3d(x, bc, zf, zl, yf, yl, hz, bz, hy, by)
+
+    for _sweep in range(nu):
+        uv = bcfix(uv)
+        if smoother == "jacobi":
+            uv = _nbr3(uv, bc) * sixth + c1
+        elif smoother == "wjacobi":
+            uv = one_m_om * uv + _nbr3(uv, bc) * om_sixth + c1w
+        else:
+            for p in (0, 1):
+                upd = _nbr3(uv, bc) * sixth + c1
+                uv = jnp.where(par == p, upd, uv)
+                uv = bcfix(uv)
+    return uv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret",
+                     "hz", "bz", "by"))
+def _smooth_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
+                     interpret: bool, hz: int, bz: int, by: int):
+    nz, ny, nx = u.shape
+    dtype = u.dtype
+    hy = 8
+    nzs, nys = nz // bz, ny // by
+    n_blocks = nzs * nys
+    Rz, Ry = bz + 2 * hz, by + 2 * hy
+    hsq = h * h
+    # rbgs parity: global (z+y+x) of local (0,0,0) is even for every
+    # block because bz and by are even, so local parity = (r+c+x+hz+hy)%2
+    assert bz % 2 == 0 and by % 2 == 0
+
+    def kernel(u_hbm, f_hbm, out_hbm, us, fs, outs, in_sems, out_sems):
+        def issue(b, slot):
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+            _block_in_3d("start", u_hbm, us, in_sems.at[slot, 0], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("start", f_hbm, fs, in_sems.at[slot, 1], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+
+        issue(0, 0)
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _block_in_3d("wait", u_hbm, us, in_sems.at[slot, 0], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("wait", f_hbm, fs, in_sems.at[slot, 1], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+
+            uv = _sweeps3(us[slot], fs[slot], nu, smoother, bc, hsq,
+                          hz, bz, hy, by,
+                          iz == 0, iz == nzs - 1, iy == 0, iy == nys - 1)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bz), pl.ds(0, by)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[hz:hz + bz, hy:hy + by, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz),
+                           pl.ds(pl.multiple_of(iy * by, 8), by)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            if k < 0:
+                continue
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds((k // nys) * bz, bz),
+                           pl.ds((k % nys) * by, by)],
+                out_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM((2, bz, by, nx), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f)
+
+
+def _supported3(u, smoother) -> bool:
+    if u.ndim != 3 or u.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    nz, ny, nx = u.shape
+    if nx % 128 or ny % 8:
+        return False
+    return u.size * jnp.dtype(u.dtype).itemsize >= MIN_BYTES_3D
+
+
+def _smooth3(u, f, h, nu, smoother, bc):
+    """3D dispatch: fused blocked kernel where a plan exists."""
+    max_nu = 4 if smoother == "rbgs" else 8
+    out = u
+    left = nu
+    itemsize = jnp.dtype(u.dtype).itemsize
+    while left > 0:
+        k = min(left, max_nu)
+        plan = _plan3d(u.shape, k, smoother, itemsize)
+        if plan is None:
+            return xla.smooth(out, f, h, left, smoother, bc)
+        hz, bz, by = plan
+        out = _smooth_fused_3d(out, f, h=float(h), nu=k, smoother=smoother,
+                               bc=bc, interpret=_interpret(), hz=hz, bz=bz,
+                               by=by)
+        left -= k
+    return out
+
+
+# =====================================================================
 # public op interface (same signature as mgpoisson.kernels.xla)
 # =====================================================================
 
 def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     if nu == 0:
         return u
+    if u.ndim == 3 and _supported3(u, smoother):
+        return _smooth3(u, f, h, nu, smoother, bc)
     if not _supported(u):
         return xla.smooth(u, f, h, nu, smoother, bc)
     # cap per-call halo depth; chain kernels for very deep smooth counts
@@ -610,11 +890,11 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
         kernel,
         out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
                    jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, R_, n), dtype),            # u stripes
             pltpu.VMEM((2, R_, n), dtype),            # f stripes
@@ -734,8 +1014,8 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, n), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, R_, n), dtype),        # u stripes
             pltpu.VMEM((2, R_, n), dtype),        # f stripes

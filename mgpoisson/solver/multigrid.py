@@ -197,8 +197,13 @@ class MultigridPoisson:
         aliasing), still synced to host once per cycle.
         """
         f = self.rhs() if f is None else jnp.asarray(f, self._dtype)
-        psi = self.init_state(f) if psi0 is None else jnp.asarray(
-            psi0, self._dtype)
+        if psi0 is None:
+            psi = self.init_state(f)
+        else:
+            # copy: the jitted solve loop donates its psi argument, and
+            # donating a caller-owned array would silently delete it
+            # (breaking a second solve() with the same psi0)
+            psi = jnp.array(psi0, self._dtype, copy=True)
         r0 = self._r0(psi, f)
 
         if error_callback is None:

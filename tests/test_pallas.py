@@ -92,9 +92,10 @@ def test_get_ops_dispatch():
     assert get_ops(spec_xla, 512) is xla
     spec_pallas = Spec(size=512, backend="pallas")
     assert get_ops(spec_pallas, 512) is pk
-    # 3D never uses the 2D-specialized pallas module
+    # 3D now routes to the pallas module too (its blocked 3D fused
+    # smoother; non-smoother ops delegate to XLA inside the module)
     spec_3d = Spec(size=512, ndim=3, backend="pallas")
-    assert get_ops(spec_3d, 512) is xla
+    assert get_ops(spec_3d, 512) is pk
 
 
 @pytest.mark.parametrize("bc", ["ghost0", "face"])

@@ -106,6 +106,19 @@ def test_custom_rhs_and_psi0():
     assert rel < 1e-8
 
 
+def test_psi0_not_donated():
+    """The solve loop donates its iterate buffer; a caller-owned psi0
+    must survive (copied), so repeated solves from the same start work."""
+    mg = _solver(32, scheme="tuned", tol=1e-12)
+    f = mg.rhs()
+    psi0 = mg.init_state(f)
+    res1 = mg.solve(f, psi0=psi0)
+    res2 = mg.solve(f, psi0=psi0)   # would raise if psi0 were donated
+    assert res1.iterations == res2.iterations
+    np.testing.assert_array_equal(np.asarray(res1.psi),
+                                  np.asarray(res2.psi))
+
+
 def test_3d_solve():
     size = 16
     mg = MultigridPoisson(Spec(size=size, ndim=3, dtype="float64",
