@@ -355,6 +355,484 @@ def _nbr_full(u, bc):
 
 
 # =====================================================================
+# wide-grid 2D kernels: two-axis blocking for n >= 8192
+# =====================================================================
+# At n >= 8192 a full row stripe no longer fits VMEM (a single 16384-
+# lane f32 row is 64 KB; five double-buffered stripes blow the budget),
+# so the single-axis scheme degenerates and round 1 fell back to XLA
+# for the fine levels of BASELINE config 5.  These kernels block BOTH
+# axes: rows keep the 8-aligned sublane halo, columns get a 128-lane-
+# aligned halo (the lane-dim DMA granularity).  Column halos behave
+# exactly like row halos — recomputed redundantly, one lane of
+# exactness lost per sweep — and the global column BC becomes a traced
+# per-block fixup like _apply_row_bc (the inline value-edge BC of _nbr
+# is only correct when the block spans the full row).
+
+
+def _apply_col_bc(u, bc, is_first, is_last, lf_ghost_col, rt_ghost_col):
+    """Column twin of _apply_row_bc for lane-blocked values."""
+    C = u.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    if bc == "ghost0":
+        u = jnp.where(is_first & (cols <= lf_ghost_col), 0.0, u)
+        u = jnp.where(is_last & (cols >= rt_ghost_col), 0.0, u)
+    else:  # face
+        lf_edge = u[:, lf_ghost_col + 1:lf_ghost_col + 2]
+        u = jnp.where(is_first & (cols == lf_ghost_col), -lf_edge, u)
+        u = jnp.where(is_first & (cols < lf_ghost_col), 0.0, u)
+        rt_edge = u[:, rt_ghost_col - 1:rt_ghost_col]
+        u = jnp.where(is_last & (cols == rt_ghost_col), -rt_edge, u)
+        u = jnp.where(is_last & (cols > rt_ghost_col), 0.0, u)
+    return u
+
+
+def _nbr_plain(u):
+    """5-point neighbor sum with zero fill at the VALUE edges (which
+    are halo cells in a two-axis block — their corruption is part of
+    the per-sweep halo degradation, not a boundary condition)."""
+    zrow = jnp.zeros_like(u[:1, :])
+    up = jnp.concatenate([zrow, u[:-1, :]], axis=0)
+    dn = jnp.concatenate([u[1:, :], zrow], axis=0)
+    zcol = jnp.zeros_like(u[:, :1])
+    lf = jnp.concatenate([zcol, u[:, :-1]], axis=1)
+    rt = jnp.concatenate([u[:, 1:], zcol], axis=1)
+    return (up + dn) + (lf + rt)
+
+
+_HC = 128   # lane-aligned column halo
+
+
+def _sweeps_wide(uv, fv, nu, smoother, bc, hsq, hr, bm, hc, bcw,
+                 rf, rl, cf, cl):
+    """nu sweeps on a two-axis block value with per-sweep row AND
+    column boundary fixups (rf/rl/cf/cl: traced edge flags)."""
+    R_, C_ = uv.shape
+    dtype = uv.dtype
+    c1 = fv * jnp.asarray(-hsq * 0.25, dtype)
+    quarter = jnp.asarray(0.25, dtype)
+    omega = 0.8
+    one_m_om = jnp.asarray(1.0 - omega, dtype)
+    om_quarter = jnp.asarray(omega * 0.25, dtype)
+    c1w = fv * jnp.asarray(-hsq * 0.25 * omega, dtype)
+
+    def bcfix(x):
+        x = _apply_row_bc(x, bc, rf, rl, hr - 1, hr + bm)
+        return _apply_col_bc(x, bc, cf, cl, hc - 1, hc + bcw)
+
+    if smoother == "rbgs":
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, C_), 1)
+        parity = (rows + cols + hr + hc) % 2   # bm, bc even
+    for _sweep in range(nu):
+        uv = bcfix(uv)
+        if smoother == "jacobi":
+            uv = _nbr_plain(uv) * quarter + c1
+        elif smoother == "wjacobi":
+            uv = one_m_om * uv + _nbr_plain(uv) * om_quarter + c1w
+        else:
+            for p in (0, 1):
+                upd = _nbr_plain(uv) * quarter + c1
+                uv = jnp.where(parity == p, upd, uv)
+                uv = bcfix(uv)
+    return uv
+
+
+def _plan_wide(n, nu, smoother, itemsize, n_v_bufs=0):
+    """(hr, bm, bc) for a two-axis-blocked kernel, or None.  Searches
+    power-of-two (bm, bc) maximizing the useful fraction within the
+    VMEM budget (u, f double-buffered with halos; out double-buffered;
+    n_v_bufs extra coarse-block buffers of ~(bm/2+16, bc/2+256))."""
+    radius = 2 if smoother == "rbgs" else 1
+    hr = 8
+    if radius * nu > hr:
+        return None
+    best = None
+    for bm in (256, 128, 64, 32):
+        if n % bm:
+            continue
+        for bc in (8192, 4096, 2048, 1024):
+            if n % bc or (n // bm) * (n // bc) < 2:
+                continue
+            vmem = itemsize * (4 * (bm + 2 * hr) * (bc + 2 * _HC)
+                               + 2 * bm * bc
+                               + n_v_bufs * (bm // 2 + 16) * (bc // 2
+                                                              + 2 * _HC))
+            if vmem > _VMEM_BUDGET:
+                continue
+            util = (bm * bc) / ((bm + 2 * hr) * (bc + 2 * _HC))
+            if best is None or util > best[0]:
+                best = (util, hr, bm, bc)
+    return None if best is None else best[1:]
+
+
+def _block_in_2d(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs, bc, nc_s,
+                 hc=_HC):
+    """Start/wait a (row, col)-clipped 2D block DMA."""
+    for cr, sr, lr, dr in _axis_cases(ir, bm, hr, nrs):
+        for cc, sc, lc, dc in _axis_cases(ic, bc, hc, nc_s):
+            cond = None
+            if cr is not None:
+                cond = cr
+            if cc is not None:
+                cond = cc if cond is None else cond & cc
+
+            def dma(sr=sr, lr=lr, dr=dr, sc=sc, lc=lc, dc=dc):
+                getattr(pltpu.make_async_copy(
+                    hbm.at[pl.ds(_mult8(sr), lr),
+                           pl.ds(_mult128(sc), lc)],
+                    vref.at[slot, pl.ds(dr, lr), pl.ds(dc, lc)],
+                    sem), op)()
+
+            if cond is None:
+                dma()
+            else:
+                pl.when(cond)(dma)
+
+
+def _mult8(x):
+    return x if isinstance(x, int) else pl.multiple_of(x, 8)
+
+
+def _mult128(x):
+    return x if isinstance(x, int) else pl.multiple_of(x, 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret",
+                     "hr", "bm", "bcw"))
+def _smooth_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
+                       interpret: bool, hr: int, bm: int, bcw: int):
+    n = u.shape[0]
+    dtype = u.dtype
+    hc = _HC
+    nrs, ncs = n // bm, n // bcw
+    n_blocks = nrs * ncs
+    R, C = bm + 2 * hr, bcw + 2 * hc
+    hsq = h * h
+    assert bm % 8 == 0 and bcw % 128 == 0
+
+    def kernel(u_hbm, f_hbm, out_hbm, us, fs, outs, in_sems, out_sems):
+        def issue(b, slot):
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+            _block_in_2d("start", u_hbm, us, in_sems.at[slot, 0], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("start", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+
+        issue(0, 0)
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _block_in_2d("wait", u_hbm, us, in_sems.at[slot, 0], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("wait", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+
+            uv = _sweeps_wide(us[slot], fs[slot], nu, smoother, bc, hsq,
+                              hr, bm, hc, bcw,
+                              ir == 0, ir == nrs - 1,
+                              ic == 0, ic == ncs - 1)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm), pl.ds(0, bcw)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[hr:hr + bm, hc:hc + bcw]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(ir * bm, 8), bm),
+                           pl.ds(pl.multiple_of(ic * bcw, 128), bcw)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds((k // ncs) * bm, bm),
+                           pl.ds((k % ncs) * bcw, bcw)],
+                out_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, bm, bcw), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret",
+                     "hr", "bm", "bcw"))
+def _rr_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
+                   interpret: bool, hr: int, bm: int, bcw: int):
+    """Two-axis-blocked: nu sweeps, then R = restrict(residual).
+    Returns (u_smoothed, R); halo keeps >= 1 extra exact ring for the
+    residual's neighbor reads (hr = 8 >= radius*nu + 1)."""
+    n = u.shape[0]
+    dtype = u.dtype
+    hc = _HC
+    nrs, ncs = n // bm, n // bcw
+    n_blocks = nrs * ncs
+    R, C = bm + 2 * hr, bcw + 2 * hc
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+    pmat = _halve_mat(bcw, dtype)
+
+    def kernel(u_hbm, f_hbm, p_hbm, out_hbm, rout_hbm,
+               us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+               p_sem):
+        pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
+        pdma.start()
+
+        def issue(b, slot):
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+            _block_in_2d("start", u_hbm, us, in_sems.at[slot, 0], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("start", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+
+        issue(0, 0)
+        pdma.wait()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _block_in_2d("wait", u_hbm, us, in_sems.at[slot, 0], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("wait", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+
+            rf, rl = ir == 0, ir == nrs - 1
+            cf, cl = ic == 0, ic == ncs - 1
+            uv = _sweeps_wide(us[slot], fs[slot], nu, smoother, bc, hsq,
+                              hr, bm, hc, bcw, rf, rl, cf, cl)
+            # ghosts must hold boundary data for the residual reads
+            uv = _apply_row_bc(uv, bc, rf, rl, hr - 1, hr + bm)
+            uv = _apply_col_bc(uv, bc, cf, cl, hc - 1, hc + bcw)
+
+            rv_full = fs[slot] - (_nbr_plain(uv) - 4.0 * uv) \
+                * jnp.asarray(inv_hsq, dtype)
+            rv = rv_full[hr:hr + bm, hc:hc + bcw]
+            s = rv.reshape(bm // 2, 2, bcw).sum(axis=1)
+            Rv = _lane_halve(s, pv[:]) * jnp.asarray(0.25, dtype)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm), pl.ds(0, bcw)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot],
+                    rout_hbm.at[pl.ds(0, bm // 2), pl.ds(0, bcw // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = uv[hr:hr + bm, hc:hc + bcw]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(ir * bm, 8), bm),
+                           pl.ds(pl.multiple_of(ic * bcw, 128), bcw)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(ir * (bm // 2), 8),
+                                  bm // 2),
+                            pl.ds(pl.multiple_of(ic * (bcw // 2), 128),
+                                  bcw // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            slot = k % 2
+            ir, ic = k // ncs, k % ncs
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(ir * bm, bm), pl.ds(ic * bcw, bcw)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(ir * (bm // 2), bm // 2),
+                            pl.ds(ic * (bcw // 2), bcw // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
+                   jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM(pmat.shape, dtype),
+            pltpu.VMEM((2, bm, bcw), dtype),
+            pltpu.VMEM((2, bm // 2, bcw // 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, pmat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
+                     "hr", "bm", "bcw"))
+def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
+                   kind: str, interpret: bool, hr: int, bm: int, bcw: int):
+    """Two-axis-blocked: u += P(V), then nu sweeps.  The coarse block
+    carries (8, 128) coarse halos = (16, 256) fine, covering the sweep
+    radius and the bilinear +-2 shift in both axes."""
+    n = u.shape[0]
+    dtype = u.dtype
+    hc = _HC
+    nrs, ncs = n // bm, n // bcw
+    n_blocks = nrs * ncs
+    R, C = bm + 2 * hr, bcw + 2 * hc
+    chr_, chc = 8, _HC
+    Rc, Cc = bm // 2 + 2 * chr_, bcw // 2 + 2 * chc
+    hsq = h * h
+    emat = _double_mat(bcw, dtype)
+    assert hr <= 14
+
+    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm,
+               us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+        edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
+        edma.start()
+
+        def issue(b, slot):
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+            _block_in_2d("start", u_hbm, us, in_sems.at[slot, 0], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("start", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("start", v_hbm, vs, in_sems.at[slot, 2], ir, ic,
+                         slot, bm // 2, chr_, nrs, bcw // 2, ncs, hc=chc)
+
+        issue(0, 0)
+        edma.wait()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _block_in_2d("wait", u_hbm, us, in_sems.at[slot, 0], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("wait", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
+                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_2d("wait", v_hbm, vs, in_sems.at[slot, 2], ir, ic,
+                         slot, bm // 2, chr_, nrs, bcw // 2, ncs, hc=chc)
+
+            rf, rl = ir == 0, ir == nrs - 1
+            cf, cl = ic == 0, ic == ncs - 1
+            # expand the coarse block to fine rows/cols
+            v2 = jnp.repeat(vs[slot], 2, axis=0)    # (bm + 4*chr_, Cc)
+            vf = _lane_double(v2, ev[:])            # (bm + 4*chr_, bcw + 4*chc)
+            if kind == "bilinear":
+                # zero the clipped (stale-scratch) ghost regions first —
+                # the blend's +-2 shift reads them at the grid edges
+                ridx = jax.lax.broadcasted_iota(jnp.int32,
+                                                (vf.shape[0], 1), 0)
+                cidx = jax.lax.broadcasted_iota(jnp.int32,
+                                                (1, vf.shape[1]), 1)
+                vf = jnp.where(rf & (ridx < 2 * chr_), 0.0, vf)
+                vf = jnp.where(rl & (ridx >= bm + 2 * chr_), 0.0, vf)
+                vf = jnp.where(cf & (cidx < 2 * chc), 0.0, vf)
+                vf = jnp.where(cl & (cidx >= bcw + 2 * chc), 0.0, vf)
+                vf = _bilinear_blend_2d(
+                    vf, 2 * chr_, bm + 2 * chr_ - 1, rf, rl, vf.shape[1],
+                    left_col=2 * chc, right_col=bcw + 2 * chc - 1,
+                    cf=cf, cl=cl)
+            # slice to the u block's window
+            vf = vf[2 * chr_ - hr:2 * chr_ - hr + R,
+                    2 * chc - hc:2 * chc - hc + C]
+
+            uv = us[slot] + vf
+            uv = _sweeps_wide(uv, fs[slot], nu, smoother, bc, hsq,
+                              hr, bm, hc, bcw, rf, rl, cf, cl)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm), pl.ds(0, bcw)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[hr:hr + bm, hc:hc + bcw]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(ir * bm, 8), bm),
+                           pl.ds(pl.multiple_of(ic * bcw, 128), bcw)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds((k // ncs) * bm, bm),
+                           pl.ds((k % ncs) * bcw, bcw)],
+                out_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, Rc, Cc), dtype),
+            pltpu.VMEM(emat.shape, dtype),
+            pltpu.VMEM((2, bm, bcw), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, V, emat)
+
+
+# =====================================================================
 # 3D fused multi-sweep smoother (7-point Laplacian, BASELINE config 4)
 # =====================================================================
 # Same deep-halo trapezoid scheme as the 2D kernel, blocked over the
@@ -654,15 +1132,22 @@ def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
         halo, bm = _smooth_plan(n, k, smoother, itemsize)
         if n // bm < 2 or bm <= 2 * halo:
             # striping degenerates: either the whole array fits VMEM
-            # (small levels) or the rows are too wide for any stripe
-            # budget (very large n) — then the XLA sweeps, which are
-            # already near-roofline per sweep, take over
+            # (small levels) or the rows are too wide for any single-
+            # axis stripe budget (n >= 8192) — then the two-axis
+            # blocked kernel takes over, and XLA only as last resort
             if 4 * n * n * itemsize <= _VMEM_BUDGET:
                 out = _smooth_whole(out, f, h=float(h), nu=k,
                                     smoother=smoother, bc=bc,
                                     interpret=_interpret())
             else:
-                return xla.smooth(out, f, h, left, smoother, bc)
+                wide = _plan_wide(n, k, smoother, itemsize)
+                if wide is None:
+                    return xla.smooth(out, f, h, left, smoother, bc)
+                hr, bm_w, bc_w = wide
+                out = _smooth_fused_wide(out, f, h=float(h), nu=k,
+                                         smoother=smoother, bc=bc,
+                                         interpret=_interpret(), hr=hr,
+                                         bm=bm_w, bcw=bc_w)
         else:
             out = _smooth_fused(out, f, h=float(h), nu=k,
                                 smoother=smoother, bc=bc,
@@ -730,19 +1215,26 @@ def _lane_double(x, emat):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
-def _bilinear_blend_2d(R, top_row, bot_row, is_first, is_last, n_lanes):
+def _bilinear_blend_2d(R, top_row, bot_row, is_first, is_last, n_lanes,
+                       left_col=0, right_col=None, cf=True, cl=True):
     """Face-adapted bilinear blend in fine space on an expanded stripe.
 
     R: injected (piecewise-constant) fine stripe value (r, n_lanes),
     whose local row 0 sits at an EVEN global fine row (so global row
-    parity == local row parity).  top_row/bot_row: static local row
-    indices of global rows 0 and n-1 (meaningful only when the traced
-    is_first/is_last booleans select them).  Matches
+    parity == local row parity; likewise for the local column origin).
+    top_row/bot_row: static local row indices of global rows 0 and
+    n-1 (meaningful only when the traced is_first/is_last booleans
+    select them); left_col/right_col play the same role for the
+    columns of lane-blocked values, gated by the traced cf/cl flags
+    (full-row callers keep the defaults: global edges at lanes 0 and
+    n_lanes-1, always present).  Matches
     mgpoisson.kernels.xla.prolong(kind='bilinear'): per axis
     out = a*R + b*S(R), S the parity +-2 shift, (a, b) = (0.75, 0.25)
     interior / (0.5, 0) at the global edges.
     """
     dtype = R.dtype
+    if right_col is None:
+        right_col = n_lanes - 1
     zr2 = jnp.zeros_like(R[:2, :])
     Rm = jnp.concatenate([zr2, R[:-2, :]], axis=0)
     Rp = jnp.concatenate([R[2:, :], zr2], axis=0)
@@ -755,13 +1247,14 @@ def _bilinear_blend_2d(R, top_row, bot_row, is_first, is_last, n_lanes):
     b0 = jnp.where(row_edge, jnp.asarray(0.0, dtype),
                    jnp.asarray(0.25, dtype))
     out = a0 * R + b0 * S0
-    # lanes: +-2 shift with parity select; global edges are static
+    # lanes: +-2 shift with parity select; edge positions static, the
+    # presence of a global edge is traced (cf/cl) for blocked callers
     zc2 = jnp.zeros_like(out[:, :2])
     Cm = jnp.concatenate([zc2, out[:, :-2]], axis=1)
     Cp = jnp.concatenate([out[:, 2:], zc2], axis=1)
     cidx = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
     S1 = jnp.where(cidx % 2 == 0, Cm, Cp)
-    lane_edge = (cidx == 0) | (cidx == n_lanes - 1)
+    lane_edge = (cf & (cidx == left_col)) | (cl & (cidx == right_col))
     a1 = jnp.where(lane_edge, jnp.asarray(0.5, dtype),
                    jnp.asarray(0.75, dtype))
     b1 = jnp.where(lane_edge, jnp.asarray(0.0, dtype),
@@ -1121,7 +1614,8 @@ def _whole_sweeps(uv, fv, nu, smoother, bc, hsq):
 # at 4096^2 — far off the claimed roofline.)
 
 def _fused_plan_or_whole(u, nu, smoother):
-    """Returns ('striped', halo, bm) | ('whole', 0, 0) | None."""
+    """Returns ('striped', halo, bm) | ('whole', 0, 0) |
+    ('wide', hr, (bm, bc)) | None."""
     if not _supported(u) or nu < 1:
         return None
     if nu > (4 if smoother == "rbgs" else 8):
@@ -1135,6 +1629,14 @@ def _fused_plan_or_whole(u, nu, smoother):
         return ("striped", halo, bm)
     if 5 * n * n * itemsize <= _VMEM_BUDGET:
         return ("whole", 0, 0)
+    # very large grids (n >= 8192): two-axis blocked kernels; the
+    # residual tail needs one extra exact ring within the 8-row halo
+    radius = 2 if smoother == "rbgs" else 1
+    if radius * nu + 1 <= 8:
+        wide = _plan_wide(n, nu, smoother, itemsize, n_v_bufs=2)
+        if wide is not None:
+            hr, bm_w, bc_w = wide   # bm multiple of 16, bc of 256
+            return ("wide", hr, (bm_w, bc_w))
     return None
 
 
@@ -1148,6 +1650,12 @@ def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
                                     smoother=smoother, bc=bc,
                                     interpret=_interpret(), halo=halo,
                                     bm=bm)
+        if mode == "wide":
+            bm_w, bc_w = bm
+            return _rr_fused_wide(u, f, h=float(h), nu=nu,
+                                  smoother=smoother, bc=bc,
+                                  interpret=_interpret(), hr=halo,
+                                  bm=bm_w, bcw=bc_w)
         return _rr_whole(u, f, h=float(h), nu=nu, smoother=smoother,
                          bc=bc, interpret=_interpret())
     u = smooth(u, f, h, nu, smoother, bc)
@@ -1165,6 +1673,12 @@ def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
                                     smoother=smoother, bc=bc, kind=kind,
                                     interpret=_interpret(), halo=halo,
                                     bm=bm)
+        if mode == "wide":
+            bm_w, bc_w = bm
+            return _pc_fused_wide(u, f, V, h=float(h), nu=nu,
+                                  smoother=smoother, bc=bc, kind=kind,
+                                  interpret=_interpret(), hr=halo,
+                                  bm=bm_w, bcw=bc_w)
         return _pc_whole(u, f, V, h=float(h), nu=nu, smoother=smoother,
                          bc=bc, kind=kind, interpret=_interpret())
     u = xla.prolong_correct(u, V, kind)
