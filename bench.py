@@ -1,20 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline (honest physical number): the fused multi-sweep smoother's
-HBM round-trip bandwidth — (read u + read f + write u) = 3 arrays
-divided by kernel wall time — measured at nu=2, the deepest fusion
-that stays DMA-bound on v5e.  vs_baseline is that number over the
-BASELINE.md target (80% of the 819 GB/s v5e HBM roofline = 655 GB/s);
->= 1.0 means the kernel's DMA pipeline meets the roofline target.
+Headline (honest physical number): ONE smoother sweep's HBM round
+trip — (read u + read f + write u) = 3 arrays divided by kernel wall
+time — the literal BASELINE.md "smoother sweep bandwidth" metric.
+vs_baseline is that number over the target (80% of the 819 GB/s v5e
+HBM roofline = 655 GB/s); >= 1.0 means the sweep meets the roofline
+target.
 
-At the tuned scheme's production depth (nu=3) the same kernel becomes
-VPU-bound: it spends longer computing the third sweep than the single
-round trip takes, so its physical bandwidth drops below the target
-while its per-sweep effective bandwidth (nu*3 arrays of useful work
-per round trip — what an unfused implementation would have to move)
-rises to ~1.9x the roofline.  Both numbers are reported in extras,
-labeled for what they are.
+The production kernels fuse all nu sweeps into one round trip.  At
+nu=2 that is still DMA-bound; at the tuned scheme's nu=3 the kernel
+turns VPU-bound — its physical bandwidth drops below the target while
+its per-sweep effective bandwidth (nu*3 arrays of useful work per
+round trip, what an unfused implementation would have to move) rises
+to ~1.9x the roofline.  All of these are reported in extras, labeled
+for what they are.
 
 Also in extras: fused half-level kernel times (pre-smooth+residual+
 restrict and prolong+correct+post-smooth), V-cycle wall time at 4096^2,
@@ -48,6 +48,18 @@ import jax.numpy as jnp
 V5E_HBM_GBPS = 819.0           # v5e HBM peak
 TARGET_FRACTION = 0.8          # BASELINE.md: >=80% of roofline
 
+# persistent compile cache: Mosaic compiles through the remote-compile
+# relay run ~30-60 s each; cached reruns of this harness skip them all
+try:
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax
+    pass
+
 from mgpoisson.bench.timing import chain_time, sync as _sync
 
 
@@ -77,10 +89,17 @@ def main():
     n_cells = size * size
     GB = lambda arrays: arrays * n_cells * bytes_per / 1e9
 
-    # --- headline: smoother HBM round trip at its DMA-bound depth (nu=2)
+    # --- headline: single-sweep HBM round trip — the literal BASELINE
+    # metric ("smoother sweep bandwidth"): one sweep reads u, reads f,
+    # writes u = 3 arrays through the same striped DMA pipeline the
+    # fused kernels use
+    t_s1 = kt(lambda u, ff: ops.smooth(u, ff, h, 1, sm, "ghost0"), psi,
+              consts=(f,))
+    smoother_roundtrip_gbps = GB(3) / t_s1
+
+    # nu=2: the deepest fusion that stays DMA-bound
     t_s2 = kt(lambda u, ff: ops.smooth(u, ff, h, 2, sm, "ghost0"), psi,
               consts=(f,))
-    smoother_roundtrip_gbps = GB(3) / t_s2
 
     # --- production depth (scheme nu): physical + per-sweep effective
     t_s = kt(lambda u, ff: ops.smooth(u, ff, h, nu, sm, "ghost0"), psi,
@@ -114,10 +133,13 @@ def main():
     # --- V-cycles and wall time to 1e-10 relative residual (north star <10)
     res = mg.solve(f)          # compile outside the timed region
     _sync(res.psi)
-    t0 = time.perf_counter()
-    res = mg.solve(f, psi0=mg.init_state(f))
-    _sync(res.psi)
-    t_solve = time.perf_counter() - t0
+    t_solve = float("inf")
+    for _ in range(2):         # best-of-2: single-shot sync jitter is
+        psi0 = mg.init_state(f)    # tens of ms through the relay
+        t0 = time.perf_counter()
+        res = mg.solve(f, psi0=psi0)
+        _sync(res.psi)
+        t_solve = min(t_solve, time.perf_counter() - t0)
     cycles_to_tol = res.iterations if res.converged else -1
 
     # --- config 5 single chip: 16384^2 (guarded: the unrolled 14-level
@@ -135,12 +157,16 @@ def main():
                             psi5, k1=4, k2=24, tries=3, consts=(f5,))
             res5 = mg5.solve(f5)
             _sync(res5.psi)
-            t0 = time.perf_counter()
-            res5 = mg5.solve(f5, psi0=mg5.init_state(f5))
-            _sync(res5.psi)
+            w5 = float("inf")
+            for _ in range(2):
+                p5 = mg5.init_state(f5)
+                t0 = time.perf_counter()
+                res5 = mg5.solve(f5, psi0=p5)
+                _sync(res5.psi)
+                w5 = min(w5, time.perf_counter() - t0)
             cfg5 = {"vcycle_time_ms": round(t5 * 1e3, 4),
                     "cycles": res5.iterations if res5.converged else -1,
-                    "solve_wall_s": round(time.perf_counter() - t0, 4)}
+                    "solve_wall_s": round(w5, 4)}
         except Exception as e:  # pragma: no cover - relay-dependent
             cfg5["error"] = f"{type(e).__name__}: {str(e)[:120]}"
 
@@ -151,16 +177,20 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(smoother_roundtrip_gbps / target, 4),
         "extra": {
-            "metric_note": ("physical 3-array round trip / fused-kernel "
-                            "time at nu=2 (the deepest DMA-bound fusion); "
-                            "at the scheme's nu=3 the kernel is VPU-bound "
-                            "- see smoother_nu* fields"),
+            "metric_note": ("physical 3-array round trip of ONE smoother "
+                            "sweep (the BASELINE.md per-sweep bandwidth "
+                            "metric); deeper fusion trades this "
+                            "bandwidth for compute - see smoother_nu* "
+                            "fields (nu=2 is the deepest DMA-bound "
+                            "fusion, the scheme's nu=3 is VPU-bound)"),
             "platform": platform,
             "size": size,
             "smoother": sm,
             "nu": nu,
             "backend_fine_level": ops.__name__.split(".")[-1],
+            "smoother_nu1_time_ms": round(t_s1 * 1e3, 4),
             "smoother_nu2_time_ms": round(t_s2 * 1e3, 4),
+            "smoother_nu2_phys_gbps": round(GB(3) / t_s2, 2),
             "smoother_nu_time_ms": round(t_s * 1e3, 4),
             "smoother_nu_phys_gbps": round(smoother_nu_phys_gbps, 2),
             "smoother_nu_effective_gbps":

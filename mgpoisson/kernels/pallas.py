@@ -151,6 +151,36 @@ def _stripe_in(op, hbm, vref, sem, i, slot, base, halo, n_stripes):
             vref.at[slot, pl.ds(0, R - halo)], sem), op)()
 
 
+def _stripe_in_fresh(op, hbm, vref, sem, i, slot, base, halo, n_stripes):
+    """Fresh-rows-only stripe load: rows [i*base + halo, i*base + base
+    + halo) into vref rows [2*halo, R); the head rows [0, 2*halo) =
+    global [i*base - halo, i*base + halo) are copied from the PREVIOUS
+    stripe's buffer in VMEM by the caller (consecutive stripes overlap
+    by exactly 2*halo rows), so u and f cross HBM exactly once.  The
+    i == 0 stripe has no predecessor and loads [0, base + halo) whole.
+    """
+    R = base + 2 * halo
+
+    @pl.when(i == 0)
+    def _():
+        getattr(pltpu.make_async_copy(
+            hbm.at[pl.ds(0, R - halo)],
+            vref.at[slot, pl.ds(halo, R - halo)], sem), op)()
+
+    @pl.when((i > 0) & (i < n_stripes - 1))
+    def _():
+        getattr(pltpu.make_async_copy(
+            hbm.at[pl.ds(pl.multiple_of(i * base + halo, 8), base)],
+            vref.at[slot, pl.ds(2 * halo, base)], sem), op)()
+
+    @pl.when(i == n_stripes - 1)
+    def _():
+        getattr(pltpu.make_async_copy(
+            hbm.at[pl.ds(pl.multiple_of(i * base + halo, 8),
+                         base - halo)],
+            vref.at[slot, pl.ds(2 * halo, base - halo)], sem), op)()
+
+
 def _sweeps(uv, fv, nu, smoother, bc, hsq, adiag, halo, bm,
             is_first, is_last, edge: bool = True):
     """nu in-VMEM smoother sweeps on a stripe value with per-sweep
@@ -229,24 +259,36 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
 
     def kernel(u_hbm, f_hbm, out_hbm, us, fs, outs, in_sems, out_sems):
         def issue(i, slot):
-            _stripe_in("start", u_hbm, us, in_sems.at[slot, 0], i, slot,
-                       bm, halo, n_stripes)
-            _stripe_in("start", f_hbm, fs, in_sems.at[slot, 1], i, slot,
-                       bm, halo, n_stripes)
+            _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("start", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
 
         issue(0, 0)
 
         def body(i, _):
             slot = jax.lax.rem(i, 2)
+            other = jax.lax.rem(i + 1, 2)
 
             @pl.when(i + 1 < n_stripes)
             def _():
-                issue(i + 1, jax.lax.rem(i + 1, 2))
+                issue(i + 1, other)
 
-            _stripe_in("wait", u_hbm, us, in_sems.at[slot, 0], i, slot,
-                       bm, halo, n_stripes)
-            _stripe_in("wait", f_hbm, fs, in_sems.at[slot, 1], i, slot,
-                       bm, halo, n_stripes)
+            _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("wait", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
+
+            # hand the next stripe its head (the 2*halo overlap rows)
+            # from this stripe's freshly loaded buffer — consecutive
+            # stripes overlap exactly there, so the halo never crosses
+            # HBM twice; disjoint from the fresh-row DMA in flight
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                us[other, pl.ds(0, 2 * halo)] = us[slot,
+                                                   pl.ds(bm, 2 * halo)]
+                fs[other, pl.ds(0, 2 * halo)] = fs[slot,
+                                                   pl.ds(bm, 2 * halo)]
 
             # a static-edge loop split (skipping row-BC fixups on
             # interior stripes) was tried: Mosaic stack-allocates each

@@ -119,6 +119,127 @@ def _build_parts(spec, mesh):
             u = jnp.where(parity == p, upd, u)
         return u
 
+    # ---------------- deep-halo smoothing phase (comm aggregation) ----
+    # One r-deep halo exchange per smooth PHASE instead of a 1-cell
+    # exchange per sweep (r = per-sweep dependency radius x nu): the
+    # same total lines cross ICI, but in one message per neighbor per
+    # phase instead of nu — the latency-bound regime for small halo
+    # lines is where ICI time actually goes.  Halo cells are recomputed
+    # redundantly and lose one ring of exactness per sweep, exactly the
+    # deep-halo trapezoid the Pallas kernels use in-chip
+    # (kernels/pallas.py); values are bit-identical to the per-sweep
+    # exchange (same stencil on the same neighbor data).
+
+    def _lines(u, ax, side, r):
+        idx = [slice(None)] * u.ndim
+        idx[ax] = slice(0, r) if side == "lo" else slice(-r, None)
+        return u[tuple(idx)]
+
+    def deep_halos(u, r):
+        """Extend u with r-deep neighbor halos along every sharded axis
+        (sequential per-axis extension carries the corners); zeros
+        arrive at global edges (non-wrapping ppermute)."""
+        for ax in sharded_axes:
+            name = _AXIS_NAMES[ax]
+            lo = shift(_lines(u, ax, "hi", r), name, +1)
+            hi = shift(_lines(u, ax, "lo", r), name, -1)
+            u = jnp.concatenate([lo, u, hi], axis=ax)
+        return u
+
+    def fix_ghost(ue, r, bc):
+        """Per-sweep global-boundary fixup on an r-extended block: on
+        edge devices the halo region lies OUTSIDE the grid and must
+        hold boundary data every sweep (ghost0: zeros; face: the
+        adjacent line = -edge)."""
+        for ax in sharded_axes:
+            name = _AXIS_NAMES[ax]
+            aidx = jax.lax.axis_index(name)
+            first = aidx == 0
+            last = aidx == mesh_sizes[name] - 1
+            n_ax = ue.shape[ax]
+            shape = [1] * ue.ndim
+            shape[ax] = n_ax
+            idx = jax.lax.iota(jnp.int32, n_ax).reshape(shape)
+            if bc == "ghost0":
+                ue = jnp.where(first & (idx < r), 0.0, ue)
+                ue = jnp.where(last & (idx >= n_ax - r), 0.0, ue)
+            else:  # face: ghost = -edge on the adjacent line, 0 beyond
+                sl = [slice(None)] * ue.ndim
+                sl[ax] = slice(r, r + 1)
+                lo_edge = ue[tuple(sl)]
+                sl[ax] = slice(n_ax - r - 1, n_ax - r)
+                hi_edge = ue[tuple(sl)]
+                ue = jnp.where(first & (idx == r - 1), -lo_edge, ue)
+                ue = jnp.where(first & (idx < r - 1), 0.0, ue)
+                ue = jnp.where(last & (idx == n_ax - r), -hi_edge, ue)
+                ue = jnp.where(last & (idx > n_ax - r), 0.0, ue)
+        return ue
+
+    def _center(ue, r):
+        idx = tuple(slice(r, -r) if ax in sharded_axes else slice(None)
+                    for ax in range(ue.ndim))
+        return ue[idx]
+
+    def smooth_phase(u, f, h, nu, bc):
+        """nu sweeps with ONE halo exchange (falls back to per-sweep
+        exchange when the halo depth would exceed the local block)."""
+        if nu == 0:
+            return u
+        radius = 2 if smoother == "rbgs" else 1
+        r = radius * nu
+        min_local = min(u.shape[ax] for ax in sharded_axes)
+        if r > min_local or all(mesh_sizes[_AXIS_NAMES[ax]] == 1
+                                for ax in sharded_axes):
+            for _ in range(nu):
+                u = sweep(u, f, h, bc)
+            return u
+        ue, fe = deep_halos(u, r), deep_halos(f, r)
+
+        # local neighbor sum on the extended block: value-edge zeros on
+        # SHARDED axes (that is halo degradation, not a bc), the real
+        # bc on LOCAL axes (their global boundary is in-block)
+        def nbr_ext(x):
+            s = xla.neighbor_sum(x, "ghost0")
+            if bc == "face":
+                for ax in range(ndim):
+                    if ax in sharded_axes:
+                        continue
+                    first = tuple(slice(None) if a != ax else slice(0, 1)
+                                  for a in range(ndim))
+                    last = tuple(slice(None) if a != ax else
+                                 slice(-1, None) for a in range(ndim))
+                    s = s.at[first].add(-x[first])
+                    s = s.at[last].add(-x[last])
+            return s
+
+        hsq = h * h
+        adiag = -2.0 * ndim / hsq
+        # sharded-axis real BCs applied by fix_ghost per sweep (and per
+        # rbgs color); rbgs parity is preserved because r is even for
+        # rbgs and the local origin shifts by r per sharded axis
+        if smoother == "rbgs":
+            parity = jax.lax.broadcasted_iota(jnp.int32, ue.shape, 0)
+            for ax in range(1, ndim):
+                parity = parity + jax.lax.broadcasted_iota(
+                    jnp.int32, ue.shape, ax)
+            parity = parity % 2
+            for _ in range(nu):
+                for p in (0, 1):
+                    # ghosts must hold boundary data before EACH color:
+                    # the second color's boundary cells read ghosts the
+                    # first color just overwrote
+                    ue = fix_ghost(ue, r, bc)
+                    upd = (fe - nbr_ext(ue) / hsq) / adiag
+                    ue = jnp.where(parity == p, upd, ue)
+        else:
+            omega = 2.0 * ndim / (2.0 * ndim + 1.0)
+            for _ in range(nu):
+                ue = fix_ghost(ue, r, bc)
+                jac = (fe - nbr_ext(ue) / hsq) / adiag
+                ue = jac if smoother == "jacobi" \
+                    else ue + omega * (jac - ue)
+        return _center(ue, r)
+
     def residual(u, f, h, bc):
         hsq = h * h
         return f - (nbr(u, bc) / hsq + (-2.0 * ndim / hsq) * u)
@@ -193,15 +314,13 @@ def _build_parts(spec, mesh):
                                        fine_level, None)
             return slice_local(u_full, u.shape)
 
-        for _ in range(spec.nu_pre):
-            u = sweep(u, f, h, bc)
+        u = smooth_phase(u, f, h, spec.nu_pre, bc)
         R = xla.restrict(residual(u, f, h, bc))   # local 2^ndim blocks
         V = jnp.zeros_like(R)
         for _ in range(gamma):
             V = cycle(V, R, 2 * h, global_size // 2, False)
         u = prolong_correct(u, V, spec.prolong_kind)
-        for _ in range(spec.nu_post):
-            u = sweep(u, f, h, bc)
+        u = smooth_phase(u, f, h, spec.nu_post, bc)
         return u
 
     def step_local(psi, f):
