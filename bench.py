@@ -107,9 +107,17 @@ def main():
     smoother_nu_phys_gbps = GB(3) / t_s
     smoother_nu_effective_gbps = GB(3 * nu) / t_s
 
-    # --- fused half-level kernels (one HBM round trip each)
-    t_rr = kt(lambda u, ff: ops.smooth_residual_restrict(
-        u, ff, h, nu, sm, "ghost0")[0], psi, consts=(f,))
+    # --- fused half-level kernels (one HBM round trip each).  The
+    # chained carry must depend on BOTH outputs via a runtime zero, or
+    # XLA dead-code-eliminates the residual+restrict work on the XLA
+    # fallback path (a literal 0.0 would constant-fold)
+    z = jnp.zeros((), psi.dtype)
+
+    def _rr_chain(u, ff, zz):
+        u2, R = ops.smooth_residual_restrict(u, ff, h, nu, sm, "ghost0")
+        return u2 + zz * R[0, 0]
+
+    t_rr = kt(_rr_chain, psi, consts=(f, z))
     V = jnp.zeros((size // 2,) * 2, psi.dtype)
     t_pc = kt(lambda u, ff, VV: ops.prolong_correct_smooth(
         u, ff, VV, h, nu, sm, "ghost0", spec.prolong_kind), psi,

@@ -507,22 +507,37 @@ def _plan_wide(n, nu, smoother, itemsize, n_v_bufs=0):
     return None if best is None else best[1:]
 
 
-def _block_in_2d(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs, bc, nc_s,
-                 hc=_HC):
-    """Start/wait a (row, col)-clipped 2D block DMA."""
-    for cr, sr, lr, dr in _axis_cases(ir, bm, hr, nrs):
-        for cc, sc, lc, dc in _axis_cases(ic, bc, hc, nc_s):
-            cond = None
-            if cr is not None:
-                cond = cr
-            if cc is not None:
-                cond = cc if cond is None else cond & cc
+def _mult8(x):
+    return x if isinstance(x, int) else pl.multiple_of(x, 8)
 
-            def dma(sr=sr, lr=lr, dr=dr, sc=sc, lc=lc, dc=dc):
+
+def _mult128(x):
+    return x if isinstance(x, int) else pl.multiple_of(x, 128)
+
+
+def _ident(x):
+    return x
+
+
+def _block_in(op, hbm, vref, sem, i0, i1, slot, geom0, geom1,
+              align0, align1):
+    """Start/wait a block DMA clipped along the two LEADING axes of
+    hbm/vref (any trailing axes transfer whole).  geomN = (base, halo,
+    n_stripes) per axis; alignN wraps that axis's source offset in its
+    pl.multiple_of annotation (_mult8 for sublane axes, _mult128 for
+    lane axes, _ident for untiled leading axes)."""
+    for c0, s0, l0, d0 in _axis_cases(i0, *geom0):
+        for c1, s1, l1, d1 in _axis_cases(i1, *geom1):
+            cond = None
+            if c0 is not None:
+                cond = c0
+            if c1 is not None:
+                cond = c1 if cond is None else cond & c1
+
+            def dma(s0=s0, l0=l0, d0=d0, s1=s1, l1=l1, d1=d1):
                 getattr(pltpu.make_async_copy(
-                    hbm.at[pl.ds(_mult8(sr), lr),
-                           pl.ds(_mult128(sc), lc)],
-                    vref.at[slot, pl.ds(dr, lr), pl.ds(dc, lc)],
+                    hbm.at[pl.ds(align0(s0), l0), pl.ds(align1(s1), l1)],
+                    vref.at[slot, pl.ds(d0, l0), pl.ds(d1, l1)],
                     sem), op)()
 
             if cond is None:
@@ -531,12 +546,12 @@ def _block_in_2d(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs, bc, nc_s,
                 pl.when(cond)(dma)
 
 
-def _mult8(x):
-    return x if isinstance(x, int) else pl.multiple_of(x, 8)
-
-
-def _mult128(x):
-    return x if isinstance(x, int) else pl.multiple_of(x, 128)
+def _block_in_2d(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs, bc, nc_s,
+                 hc=_HC):
+    """(row, col)-clipped 2D block DMA (8-aligned rows, 128-aligned
+    columns)."""
+    _block_in(op, hbm, vref, sem, ir, ic, slot, (bm, hr, nrs),
+              (bc, hc, nc_s), _mult8, _mult128)
 
 
 @functools.partial(
@@ -936,26 +951,10 @@ def _axis_cases(i, base, halo, n_str):
 
 def _block_in_3d(op, hbm, vref, sem, iz, iy, slot,
                  bz, hz, nzs, by, hy, nys):
-    """Start/wait a (z, y)-clipped block DMA; x stays whole."""
-    for cz, sz, lz, dz in _axis_cases(iz, bz, hz, nzs):
-        for cy, sy, ly, dy in _axis_cases(iy, by, hy, nys):
-            cond = None
-            if cz is not None:
-                cond = cz
-            if cy is not None:
-                cond = cy if cond is None else cond & cy
-            sy_al = sy if isinstance(sy, int) else pl.multiple_of(sy, 8)
-
-            def dma(sz=sz, lz=lz, dz=dz, sy=sy_al, ly=ly, dy=dy):
-                getattr(pltpu.make_async_copy(
-                    hbm.at[pl.ds(sz, lz), pl.ds(sy, ly)],
-                    vref.at[slot, pl.ds(dz, lz), pl.ds(dy, ly)],
-                    sem), op)()
-
-            if cond is None:
-                dma()
-            else:
-                pl.when(cond)(dma)
+    """(z, y)-clipped 3D block DMA; x stays whole.  z is untiled (free
+    offsets), y is the sublane axis (8-aligned)."""
+    _block_in(op, hbm, vref, sem, iz, iy, slot, (bz, hz, nzs),
+              (by, hy, nys), _ident, _mult8)
 
 
 def _apply_bc_3d(u, bc, zf, zl, yf, yl, hz, bz, hy, by):
@@ -1124,7 +1123,7 @@ def _smooth_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
     )(u, f)
 
 
-def _supported3(u, smoother) -> bool:
+def _supported3(u) -> bool:
     if u.ndim != 3 or u.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     nz, ny, nx = u.shape
@@ -1159,7 +1158,7 @@ def _smooth3(u, f, h, nu, smoother, bc):
 def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     if nu == 0:
         return u
-    if u.ndim == 3 and _supported3(u, smoother):
+    if u.ndim == 3 and _supported3(u):
         return _smooth3(u, f, h, nu, smoother, bc)
     if not _supported(u):
         return xla.smooth(u, f, h, nu, smoother, bc)

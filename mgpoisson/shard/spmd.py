@@ -4,10 +4,15 @@ The hand-scheduled counterpart to the GSPMD path (mgpoisson.shard.gspmd):
 the whole V-cycle runs inside one `jax.shard_map` over a 2D ('x','y')
 mesh, with the communication written out explicitly —
 
-- one-cell halo exchange per smoother sweep / residual via
-  `jax.lax.ppermute` neighbor shifts: the nearest-neighbor torus
-  pattern ICI is built for (SURVEY.md section 5, the PDE analog of ring
-  attention).  Non-wrapping permutes deliver zeros to edge devices,
+- deep-halo exchange per smoother PHASE: one radius*nu-deep
+  `jax.lax.ppermute` neighbor shift per phase (f exchanged once per
+  level), halo cells recomputed locally — the in-chip deep-halo
+  trapezoid (kernels/pallas.py) applied across devices.  Same lines
+  over ICI as per-sweep exchange, 1/nu the messages in the
+  latency-bound small-halo regime; the residual keeps its own 1-cell
+  exchange.  The nearest-neighbor torus pattern is what ICI is built
+  for (SURVEY.md section 5, the PDE analog of ring attention).
+  Non-wrapping permutes deliver zeros to edge devices,
   which IS the reference's zero-ghost Dirichlet boundary
   (`cpu.lua:28-31`) — the boundary condition falls out of the
   collective's semantics.  Face-Dirichlet (tuned scheme's coarse
@@ -180,20 +185,39 @@ def _build_parts(spec, mesh):
                     for ax in range(ue.ndim))
         return ue[idx]
 
-    def smooth_phase(u, f, h, nu, bc):
+    def _shrink(xe, d):
+        """Trim d halo lines off each sharded axis of an extended block."""
+        if d == 0:
+            return xe
+        idx = tuple(slice(d, -d) if ax in sharded_axes else slice(None)
+                    for ax in range(xe.ndim))
+        return xe[idx]
+
+    def _deep_ok(u, r):
+        """Can a depth-r halo be taken from the immediate neighbors?"""
+        min_local = min(u.shape[ax] for ax in sharded_axes)
+        return r <= min_local and not all(
+            mesh_sizes[_AXIS_NAMES[ax]] == 1 for ax in sharded_axes)
+
+    _RADIUS = 2 if smoother == "rbgs" else 1
+
+    def smooth_phase(u, f, h, nu, bc, fe=None, fe_r=0):
         """nu sweeps with ONE halo exchange (falls back to per-sweep
-        exchange when the halo depth would exceed the local block)."""
+        exchange when the halo depth would exceed the local block).
+
+        fe/fe_r: optionally a pre-extended RHS block with fe_r-deep
+        halos — f is level-invariant, so the caller exchanges it once
+        per level and both smooth phases slice from it."""
         if nu == 0:
             return u
-        radius = 2 if smoother == "rbgs" else 1
-        r = radius * nu
-        min_local = min(u.shape[ax] for ax in sharded_axes)
-        if r > min_local or all(mesh_sizes[_AXIS_NAMES[ax]] == 1
-                                for ax in sharded_axes):
+        r = _RADIUS * nu
+        if not _deep_ok(u, r):
             for _ in range(nu):
                 u = sweep(u, f, h, bc)
             return u
-        ue, fe = deep_halos(u, r), deep_halos(f, r)
+        ue = deep_halos(u, r)
+        fe = deep_halos(f, r) if fe is None or fe_r < r \
+            else _shrink(fe, fe_r - r)
 
         # local neighbor sum on the extended block: value-edge zeros on
         # SHARDED axes (that is halo degradation, not a bc), the real
@@ -314,13 +338,17 @@ def _build_parts(spec, mesh):
                                        fine_level, None)
             return slice_local(u_full, u.shape)
 
-        u = smooth_phase(u, f, h, spec.nu_pre, bc)
+        # exchange the level-invariant RHS halo ONCE for both phases
+        rmax = _RADIUS * max(spec.nu_pre, spec.nu_post)
+        fe = deep_halos(f, rmax) \
+            if rmax > 0 and _deep_ok(u, rmax) else None
+        u = smooth_phase(u, f, h, spec.nu_pre, bc, fe, rmax)
         R = xla.restrict(residual(u, f, h, bc))   # local 2^ndim blocks
         V = jnp.zeros_like(R)
         for _ in range(gamma):
             V = cycle(V, R, 2 * h, global_size // 2, False)
         u = prolong_correct(u, V, spec.prolong_kind)
-        u = smooth_phase(u, f, h, spec.nu_post, bc)
+        u = smooth_phase(u, f, h, spec.nu_post, bc, fe, rmax)
         return u
 
     def step_local(psi, f):
