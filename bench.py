@@ -48,10 +48,11 @@ import jax.numpy as jnp
 V5E_HBM_GBPS = 819.0           # v5e HBM peak
 TARGET_FRACTION = 0.8          # BASELINE.md: >=80% of roofline
 
+import os
+
 # persistent compile cache: Mosaic compiles through the remote-compile
 # relay run ~30-60 s each; cached reruns of this harness skip them all
 try:
-    import os
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(
                           os.path.abspath(__file__)), ".jax_cache"))
@@ -70,7 +71,8 @@ def main():
 
     platform = jax.default_backend()
     on_tpu = platform == "tpu"
-    size = 4096 if on_tpu else 512
+    size = int(os.environ.get("MGPOISSON_BENCH_SIZE",
+                              4096 if on_tpu else 512))
     # long chains for sub-ms kernels on TPU; short everywhere else
     kt = functools.partial(chain_time, k1=20, k2=220, tries=5) if on_tpu \
         else chain_time
@@ -128,7 +130,8 @@ def main():
 
     # --- 3D (BASELINE config 4): 256^3 V-cycle, 7-point Laplacian,
     # Pallas-blocked fused smoother on TPU
-    size3 = 256 if on_tpu else 64
+    size3 = int(os.environ.get("MGPOISSON_BENCH_SIZE3",
+                               256 if on_tpu else 64))
     spec3 = Spec(size=size3, ndim=3, dtype="float32", scheme="tuned",
                  backend="auto" if on_tpu else "xla",
                  pre_smooth=nu, post_smooth=nu)
@@ -149,6 +152,15 @@ def main():
         _sync(res.psi)
         t_solve = min(t_solve, time.perf_counter() - t0)
     cycles_to_tol = res.iterations if res.converged else -1
+
+    # --- rbgs scheme (the stronger smoother): cycles to tolerance —
+    # the north-star gate with margin (2 cycles vs wjacobi's 9)
+    spec_rb = Spec(size=size, dtype="float32", scheme="tuned",
+                   smoother="rbgs", backend="auto", stop="residual",
+                   tol=1e-10)
+    res_rb = MultigridPoisson(spec_rb).solve()
+    _sync(res_rb.psi)
+    cycles_rbgs = res_rb.iterations if res_rb.converged else -1
 
     # --- config 5 single chip: 16384^2 (guarded: the unrolled 14-level
     # program can exceed the remote-compile relay's payload limit)
@@ -212,6 +224,7 @@ def main():
             "size3d": size3,
             "backend_3d": get_ops(spec3, size3).__name__.split(".")[-1],
             "vcycles_to_1e-10_relres": cycles_to_tol,
+            "vcycles_to_1e-10_rbgs": cycles_rbgs,
             "solve_wall_s": round(t_solve, 4),
             "config5_16384": cfg5,
             "roofline_target_gbps": target,

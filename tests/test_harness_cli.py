@@ -40,3 +40,29 @@ def test_profile_trace(tmp_path):
     for root, _dirs, files in os.walk(tmp_path):
         found += [f for f in files if "trace" in f or f.endswith(".pb")]
     assert found, f"no trace artifacts under {tmp_path}"
+
+
+def test_bench_json_smoke(tmp_path):
+    """bench.py (the driver artifact) runs end-to-end and emits one
+    valid JSON line with the tracked fields, at toy sizes on CPU."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, MGPOISSON_BENCH_SIZE="64",
+               MGPOISSON_BENCH_SIZE3="16", JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                         capture_output=True, text=True, env=env,
+                         cwd=root, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["unit"] == "GB/s" and d["value"] > 0
+    extra = d["extra"]
+    for key in ("vcycle_time_ms", "vcycles_to_1e-10_relres",
+                "vcycles_to_1e-10_rbgs", "smoother_nu_phys_gbps",
+                "rr_fused_time_ms", "config5_16384", "solve_wall_s"):
+        assert key in extra, key
+    assert extra["vcycles_to_1e-10_relres"] > 0
