@@ -162,6 +162,23 @@ def main():
     _sync(res_rb.psi)
     cycles_rbgs = res_rb.iterations if res_rb.converged else -1
 
+    # --- FMG-initialized solve: full multigrid reaches discretization
+    # accuracy in one O(N) pass, then V-cycles polish (1 cycle to the
+    # 1e-10 gate at 4096^2)
+    spec_f = Spec(size=size, dtype="float32", scheme="tuned",
+                  backend="auto", stop="residual", tol=1e-10,
+                  cycle="fmg")
+    mg_f = MultigridPoisson(spec_f)
+    res_f = mg_f.solve(f)
+    _sync(res_f.psi)
+    t_fmg = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res_f = mg_f.solve(f)      # includes the FMG init pass
+        _sync(res_f.psi)
+        t_fmg = min(t_fmg, time.perf_counter() - t0)
+    cycles_fmg = res_f.iterations if res_f.converged else -1
+
     # --- config 5 single chip: 16384^2 (guarded: the unrolled 14-level
     # program can exceed the remote-compile relay's payload limit)
     cfg5 = {"vcycle_time_ms": None, "cycles": None, "solve_wall_s": None}
@@ -225,6 +242,8 @@ def main():
             "backend_3d": get_ops(spec3, size3).__name__.split(".")[-1],
             "vcycles_to_1e-10_relres": cycles_to_tol,
             "vcycles_to_1e-10_rbgs": cycles_rbgs,
+            "fmg_vcycles_to_1e-10": cycles_fmg,
+            "fmg_solve_wall_s": round(t_fmg, 4),
             "solve_wall_s": round(t_solve, 4),
             "config5_16384": cfg5,
             "roofline_target_gbps": target,

@@ -199,12 +199,19 @@ class MultigridPoisson:
         f = self.rhs() if f is None else jnp.asarray(f, self._dtype)
         if psi0 is None:
             psi = self.init_state(f)
+            # relative-residual baseline: the REFERENCE initial guess
+            # (psi = -f, `cpu.lua:193`), not the FMG-initialized
+            # iterate — FMG is part of the solve, and its output's
+            # residual is already so small that normalizing by it
+            # would make tol*r0 unreachable (the solve would spin to
+            # maxiter without converging)
+            r0 = self._r0(initial_guess(f), f)
         else:
             # copy: the jitted solve loop donates its psi argument, and
             # donating a caller-owned array would silently delete it
             # (breaking a second solve() with the same psi0)
             psi = jnp.array(psi0, self._dtype, copy=True)
-        r0 = self._r0(psi, f)
+            r0 = self._r0(psi, f)
 
         if error_callback is None:
             psi, it, err, errs = self._solve_loop(psi, f, r0)

@@ -106,6 +106,26 @@ def test_custom_rhs_and_psi0():
     assert rel < 1e-8
 
 
+def test_fmg_solve_converges_with_residual_stop():
+    """cycle='fmg' + stop='residual' must converge: the relative-
+    residual baseline is the reference initial guess (-f), NOT the
+    FMG-initialized iterate (whose residual is already near the
+    target, which made tol*r0 unreachable and spun the solve to
+    maxiter)."""
+    mg = MultigridPoisson(Spec(size=128, dtype="float64", backend="xla",
+                               scheme="tuned", cycle="fmg",
+                               stop="residual", tol=1e-10))
+    res = mg.solve()
+    assert res.converged
+    # FMG start beats the -f start: strictly fewer cycles than the
+    # plain V-cycle solve
+    mg_v = MultigridPoisson(Spec(size=128, dtype="float64", backend="xla",
+                                 scheme="tuned", cycle="v",
+                                 stop="residual", tol=1e-10))
+    res_v = mg_v.solve()
+    assert res.iterations < res_v.iterations
+
+
 def test_psi0_not_donated():
     """The solve loop donates its iterate buffer; a caller-owned psi0
     must survive (copied), so repeated solves from the same start work."""
