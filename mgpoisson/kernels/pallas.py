@@ -901,24 +901,38 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
 MIN_BYTES_3D = 32 * 1024 * 1024   # below this, XLA sweeps win
 
 
-def _plan3d(shape, nu, smoother, itemsize):
-    """Pick (hz, bz, by) block geometry for a 3D fused smooth, or None.
-    Working set: u,f double-buffered (Rz,Ry,nx) + out double (bz,by,nx)."""
+def _plan3d(shape, nu, smoother, itemsize, composite=False):
+    """Pick (hz, bz, by) block geometry for a 3D fused kernel, or None.
+    Working set: u,f double-buffered (Rz,Ry,nx) + out double (bz,by,nx);
+    composite kernels carry one extra exact z-ring (the residual tail)
+    and extra V/R block buffers."""
     nz, ny, nx = shape
     radius = 2 if smoother == "rbgs" else 1
-    hz = radius * nu
+    hz = radius * nu + (1 if composite else 0)
     hy = 8
     if hz > hy:
         return None
+    chz = (hz + 3) // 2          # coarse z halo of the pc kernel
     best = None
     for bz in (32, 16, 8, 4):
-        if nz % bz or nz // bz < 2:
+        # hz <= bz: interior clipped windows must fit the array; the
+        # composite pc kernel also loads coarse blocks with chz <= bz/2
+        if nz % bz or nz // bz < 2 or hz > bz:
+            continue
+        if composite and (bz // 2 < chz or bz % 4):
             continue
         for by in (256, 128, 64, 32):
-            if ny % by or ny // by < 1:
+            if ny % by or ny // by < 1 or hy > by:
+                continue
+            if composite and (by // 2 < 8 or by % 4):
                 continue
             Rz, Ry = bz + 2 * hz, by + 2 * hy
             vmem = itemsize * nx * (4 * Rz * Ry + 2 * bz * by)
+            if composite:
+                # R-out blocks + coarse V blocks (conservative: both)
+                vmem += itemsize * (bz * by * nx // 4
+                                    + (bz // 2 + 16) * (by // 2 + 16)
+                                    * nx)
             if vmem > _VMEM_BUDGET:
                 continue
             util = (bz * by) / (Rz * Ry)
@@ -1121,6 +1135,304 @@ def _smooth_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(u, f)
+
+
+def _lane_halve3(x, pmat):
+    """Lane pair-sum on a 3D value via the 2D MXU form (leading axes
+    merged — a non-lane reshape Mosaic lowers)."""
+    a, b, nx_ = x.shape
+    return _lane_halve(x.reshape(a * b, nx_), pmat).reshape(a, b,
+                                                            nx_ // 2)
+
+
+def _lane_double3(x, emat):
+    a, b, nh = x.shape
+    return _lane_double(x.reshape(a * b, nh), emat).reshape(a, b, 2 * nh)
+
+
+def _trilinear_blend_3d(R, pos, flags):
+    """Per-axis bilinear blend in fine space on an expanded 3D block
+    (the 3D 'bilinear' = trilinear prolongation of kernels/xla.py).
+
+    pos[ax] = (first_idx, last_idx): static local indices of global
+    cells 0 and n-1 along ax; flags[ax] = (is_first, is_last): traced
+    does-this-block-touch-the-edge booleans (True for unblocked axes).
+    Local origin parity is even on every axis (blocks are even-sized
+    and halos even), so local parity == global parity.
+    """
+    dtype = R.dtype
+    for ax in range(3):
+        sl = lambda a, b: tuple(
+            slice(None) if i != ax else slice(a, b) for i in range(3))
+        zshape = list(R.shape)
+        zshape[ax] = 2
+        z2 = jnp.zeros(tuple(zshape), dtype)
+        Rm = jnp.concatenate([z2, R[sl(None, -2)]], axis=ax)
+        Rp = jnp.concatenate([R[sl(2, None)], z2], axis=ax)
+        idx = jax.lax.broadcasted_iota(jnp.int32, R.shape, ax)
+        S = jnp.where(idx % 2 == 0, Rm, Rp)
+        (first, last), (f_flag, l_flag) = pos[ax], flags[ax]
+        edge = (f_flag & (idx == first)) | (l_flag & (idx == last))
+        a_w = jnp.where(edge, jnp.asarray(0.5, dtype),
+                        jnp.asarray(0.75, dtype))
+        b_w = jnp.where(edge, jnp.asarray(0.0, dtype),
+                        jnp.asarray(0.25, dtype))
+        R = a_w * R + b_w * S
+    return R
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret",
+                     "hz", "bz", "by"))
+def _rr_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
+                 interpret: bool, hz: int, bz: int, by: int):
+    """3D blocked: nu sweeps, then R = restrict(residual) (2x2x2).
+    Returns (u_smoothed, R); hz carries one extra exact ring for the
+    residual's neighbor reads (hz = radius*nu + 1, hy = 8 >= same)."""
+    nz, ny, nx = u.shape
+    dtype = u.dtype
+    hy = 8
+    nzs, nys = nz // bz, ny // by
+    n_blocks = nzs * nys
+    Rz, Ry = bz + 2 * hz, by + 2 * hy
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+    pmat = _halve_mat(nx, dtype)
+
+    def kernel(u_hbm, f_hbm, p_hbm, out_hbm, rout_hbm,
+               us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+               p_sem):
+        pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
+        pdma.start()
+
+        def issue(b, slot):
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+            _block_in_3d("start", u_hbm, us, in_sems.at[slot, 0], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("start", f_hbm, fs, in_sems.at[slot, 1], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+
+        issue(0, 0)
+        pdma.wait()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _block_in_3d("wait", u_hbm, us, in_sems.at[slot, 0], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("wait", f_hbm, fs, in_sems.at[slot, 1], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+
+            zf, zl = iz == 0, iz == nzs - 1
+            yf, yl = iy == 0, iy == nys - 1
+            uv = _sweeps3(us[slot], fs[slot], nu, smoother, bc, hsq,
+                          hz, bz, hy, by, zf, zl, yf, yl)
+            # ghosts must hold boundary data for the residual reads
+            uv = _apply_bc_3d(uv, bc, zf, zl, yf, yl, hz, bz, hy, by)
+
+            rv_full = fs[slot] - (_nbr3(uv, bc) - 6.0 * uv) \
+                * jnp.asarray(inv_hsq, dtype)
+            rv = rv_full[hz:hz + bz, hy:hy + by, :]
+            s = rv.reshape(bz // 2, 2, by, nx).sum(axis=1)
+            s = s.reshape(bz // 2, by // 2, 2, nx).sum(axis=2)
+            Rv = _lane_halve3(s, pv[:]) * jnp.asarray(0.125, dtype)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bz), pl.ds(0, by)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot],
+                    rout_hbm.at[pl.ds(0, bz // 2), pl.ds(0, by // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = uv[hz:hz + bz, hy:hy + by, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz),
+                           pl.ds(pl.multiple_of(iy * by, 8), by)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(iz * (bz // 2), bz // 2),
+                            pl.ds(pl.multiple_of(iy * (by // 2), 8),
+                                  by // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            slot = k % 2
+            iz, iy = k // nys, k % nys
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz), pl.ds(iy * by, by)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(iz * (bz // 2), bz // 2),
+                            pl.ds(iy * (by // 2), by // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((nz // 2, ny // 2, nx // 2),
+                                        dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM(pmat.shape, dtype),
+            pltpu.VMEM((2, bz, by, nx), dtype),
+            pltpu.VMEM((2, bz // 2, by // 2, nx // 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, pmat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
+                     "hz", "bz", "by"))
+def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
+                 kind: str, interpret: bool, hz: int, bz: int, by: int):
+    """3D blocked: u += P(V) (2x upsample, optionally trilinear), then
+    nu sweeps.  Coarse halos (8, 8) = (16, 16) fine cover the sweep
+    radius and the trilinear +-2 shift on both blocked axes."""
+    nz, ny, nx = u.shape
+    dtype = u.dtype
+    hy = 8
+    nzs, nys = nz // bz, ny // by
+    n_blocks = nzs * nys
+    Rz, Ry = bz + 2 * hz, by + 2 * hy
+    # coarse halos: fine coverage 2*ch >= h + 2 (sweep radius + the
+    # trilinear +-2 shift); z is untiled so chz is exactly the need,
+    # y keeps the 8-row sublane alignment
+    chz, chy = (hz + 3) // 2, 8
+    Rcz, Rcy = bz // 2 + 2 * chz, by // 2 + 2 * chy
+    hsq = h * h
+    emat = _double_mat(nx, dtype)
+    assert hz <= 14 and hy <= 14 and chz <= bz // 2 and chy <= by // 2
+
+    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm,
+               us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+        edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
+        edma.start()
+
+        def issue(b, slot):
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+            _block_in_3d("start", u_hbm, us, in_sems.at[slot, 0], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("start", f_hbm, fs, in_sems.at[slot, 1], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("start", v_hbm, vs, in_sems.at[slot, 2], iz, iy,
+                         slot, bz // 2, chz, nzs, by // 2, chy, nys)
+
+        issue(0, 0)
+        edma.wait()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _block_in_3d("wait", u_hbm, us, in_sems.at[slot, 0], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("wait", f_hbm, fs, in_sems.at[slot, 1], iz, iy,
+                         slot, bz, hz, nzs, by, hy, nys)
+            _block_in_3d("wait", v_hbm, vs, in_sems.at[slot, 2], iz, iy,
+                         slot, bz // 2, chz, nzs, by // 2, chy, nys)
+
+            zf, zl = iz == 0, iz == nzs - 1
+            yf, yl = iy == 0, iy == nys - 1
+            v2 = jnp.repeat(vs[slot], 2, axis=0)
+            v2 = jnp.repeat(v2, 2, axis=1)
+            vf = _lane_double3(v2, ev[:])
+            if kind == "bilinear":
+                # zero stale-scratch ghost regions before the blend
+                zi = jax.lax.broadcasted_iota(jnp.int32,
+                                              (vf.shape[0], 1, 1), 0)
+                yi = jax.lax.broadcasted_iota(jnp.int32,
+                                              (1, vf.shape[1], 1), 1)
+                vf = jnp.where(zf & (zi < 2 * chz), 0.0, vf)
+                vf = jnp.where(zl & (zi >= bz + 2 * chz), 0.0, vf)
+                vf = jnp.where(yf & (yi < 2 * chy), 0.0, vf)
+                vf = jnp.where(yl & (yi >= by + 2 * chy), 0.0, vf)
+                vf = _trilinear_blend_3d(
+                    vf,
+                    pos=((2 * chz, bz + 2 * chz - 1),
+                         (2 * chy, by + 2 * chy - 1),
+                         (0, nx - 1)),
+                    flags=((zf, zl), (yf, yl), (True, True)))
+            vf = vf[2 * chz - hz:2 * chz - hz + Rz,
+                    2 * chy - hy:2 * chy - hy + Ry, :]
+
+            uv = us[slot] + vf
+            uv = _sweeps3(uv, fs[slot], nu, smoother, bc, hsq,
+                          hz, bz, hy, by, zf, zl, yf, yl)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bz), pl.ds(0, by)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[hz:hz + bz, hy:hy + by, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz),
+                           pl.ds(pl.multiple_of(iy * by, 8), by)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds((k // nys) * bz, bz),
+                           pl.ds((k % nys) * by, by)],
+                out_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM((2, Rcz, Rcy, nx // 2), dtype),
+            pltpu.VMEM(emat.shape, dtype),
+            pltpu.VMEM((2, bz, by, nx), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, V, emat)
 
 
 def _supported3(u) -> bool:
@@ -1683,6 +1995,15 @@ def _fused_plan_or_whole(u, nu, smoother):
 
 def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     """pre-smooth x nu, then R = restrict(residual). Returns (u, R)."""
+    if u.ndim == 3 and _supported3(u) and 1 <= nu:
+        p3 = _plan3d(u.shape, nu, smoother,
+                     jnp.dtype(u.dtype).itemsize, composite=True)
+        if p3 is not None:
+            hz, bz, by = p3
+            return _rr_fused_3d(u, f, h=float(h), nu=nu,
+                                smoother=smoother, bc=bc,
+                                interpret=_interpret(), hz=hz, bz=bz,
+                                by=by)
     plan = _fused_plan_or_whole(u, nu, smoother)
     if plan is not None:
         mode, halo, bm = plan
@@ -1706,6 +2027,15 @@ def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
 def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
                            kind="inject"):
     """u += P(V), then post-smooth x nu."""
+    if u.ndim == 3 and _supported3(u) and 1 <= nu:
+        p3 = _plan3d(u.shape, nu, smoother,
+                     jnp.dtype(u.dtype).itemsize, composite=True)
+        if p3 is not None:
+            hz, bz, by = p3
+            return _pc_fused_3d(u, f, V, h=float(h), nu=nu,
+                                smoother=smoother, bc=bc, kind=kind,
+                                interpret=_interpret(), hz=hz, bz=bz,
+                                by=by)
     plan = _fused_plan_or_whole(u, nu, smoother)
     if plan is not None:
         mode, halo, bm = plan

@@ -49,6 +49,51 @@ def test_smooth3d_single_y_stripe():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("smoother,nu", [("wjacobi", 3), ("rbgs", 2)])
+@pytest.mark.parametrize("bc", ["ghost0", "face"])
+def test_rr3d_matches_xla(smoother, nu, bc):
+    u, f = _data((32, 64, 128), seed=4)
+    h = 1.0 / 64
+    hz = (2 if smoother == "rbgs" else 1) * nu + 1
+    u1, R1 = pk._rr_fused_3d(u, f, h=h, nu=nu, smoother=smoother, bc=bc,
+                             interpret=True, hz=hz, bz=8, by=32)
+    u2, R2 = xla.smooth_residual_restrict(u, f, h, nu, smoother, bc)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               rtol=2e-5, atol=2e-5)
+    scale = float(jnp.max(jnp.abs(R2)))
+    np.testing.assert_allclose(np.asarray(R1) / scale,
+                               np.asarray(R2) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", ["inject", "bilinear"])
+def test_pc3d_matches_xla(kind):
+    u, f = _data((32, 64, 128), seed=5)
+    rng = np.random.default_rng(6)
+    V = jnp.asarray(rng.normal(size=(16, 32, 64)), jnp.float32)
+    h = 1.0 / 64
+    got = pk._pc_fused_3d(u, f, V, h=h, nu=3, smoother="wjacobi",
+                          bc="face", kind=kind, interpret=True, hz=4,
+                          bz=8, by=32)
+    ref = xla.prolong_correct_smooth(u, f, V, h, 3, "wjacobi", "face",
+                                     kind)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_plan3d_composite_geometries():
+    """Composite plans carry the +1 residual ring and fit the coarse
+    pc blocks (chz <= bz/2)."""
+    for shape, nu, smoother in [((256,) * 3, 3, "wjacobi"),
+                                ((256,) * 3, 2, "rbgs")]:
+        plan = pk._plan3d(shape, nu, smoother, 4, composite=True)
+        assert plan is not None
+        hz, bz, by = plan
+        radius = 2 if smoother == "rbgs" else 1
+        assert hz == radius * nu + 1
+        assert hz <= bz and (hz + 3) // 2 <= bz // 2 and by // 2 >= 8
+
+
 def test_plan3d_geometries():
     """Plans exist for the BASELINE config-4 shapes and respect VMEM."""
     for shape, nu, smoother in [((256,) * 3, 3, "wjacobi"),
