@@ -117,7 +117,9 @@ def main():
 
     def _rr_chain(u, ff, zz):
         u2, R = ops.smooth_residual_restrict(u, ff, h, nu, sm, "ghost0")
-        return u2 + zz * R[0, 0]
+        # one-element update, not a full-grid add: ties R into the
+        # carry (DCE guard) without adding an unaccounted array pass
+        return u2.at[0, 0].add(zz * R[0, 0])
 
     t_rr = kt(_rr_chain, psi, consts=(f, z))
     V = jnp.zeros((size // 2,) * 2, psi.dtype)

@@ -61,7 +61,8 @@ def report(size: int = 4096, dtype: str = "float32", nu: int = 2):
          3 * cells * itemsize),
         # the two fused half-levels exactly as the V-cycle runs them
         (f"smooth x{nu} + residual + restrict (fused)",
-         lambda c, ff, VV, z: (lambda ur: ur[0] + z * ur[1][0, 0])(
+         lambda c, ff, VV, z: (lambda ur: ur[0].at[0, 0].add(
+             z * ur[1][0, 0]))(
              ops.smooth_residual_restrict(c, ff, h, nu, "wjacobi",
                                           "ghost0")),
          (3 * cells + cells // 4) * itemsize),

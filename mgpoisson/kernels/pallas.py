@@ -919,12 +919,12 @@ def _plan3d(shape, nu, smoother, itemsize, composite=False):
         # composite pc kernel also loads coarse blocks with chz <= bz/2
         if nz % bz or nz // bz < 2 or hz > bz:
             continue
-        if composite and (bz // 2 < chz or bz % 4):
+        if composite and bz // 2 < chz:
             continue
         for by in (256, 128, 64, 32):
             if ny % by or ny // by < 1 or hy > by:
                 continue
-            if composite and (by // 2 < 8 or by % 4):
+            if composite and by // 2 < 8:
                 continue
             Rz, Ry = bz + 2 * hz, by + 2 * hy
             vmem = itemsize * nx * (4 * Rz * Ry + 2 * bz * by)
@@ -1271,6 +1271,8 @@ def _rr_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
         jax.lax.fori_loop(0, n_blocks, body, 0)
 
         for k in (n_blocks - 2, n_blocks - 1):
+            if k < 0:
+                continue
             slot = k % 2
             iz, iy = k // nys, k % nys
             pltpu.make_async_copy(
@@ -1408,6 +1410,8 @@ def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         jax.lax.fori_loop(0, n_blocks, body, 0)
 
         for k in (n_blocks - 2, n_blocks - 1):
+            if k < 0:
+                continue
             slot = k % 2
             pltpu.make_async_copy(
                 outs.at[slot],

@@ -204,8 +204,10 @@ class MultigridPoisson:
             # iterate — FMG is part of the solve, and its output's
             # residual is already so small that normalizing by it
             # would make tol*r0 unreachable (the solve would spin to
-            # maxiter without converging)
-            r0 = self._r0(initial_guess(f), f)
+            # maxiter without converging).  For cycle='v' psi IS that
+            # guess already; only FMG needs the separate baseline
+            r0 = self._r0(psi if self.spec.cycle != "fmg"
+                          else initial_guess(f), f)
         else:
             # copy: the jitted solve loop donates its psi argument, and
             # donating a caller-owned array would silently delete it

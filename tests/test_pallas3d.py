@@ -67,16 +67,21 @@ def test_rr3d_matches_xla(smoother, nu, bc):
 
 
 @pytest.mark.parametrize("kind", ["inject", "bilinear"])
-def test_pc3d_matches_xla(kind):
+@pytest.mark.parametrize("smoother,nu,bc", [("wjacobi", 3, "face"),
+                                            ("wjacobi", 3, "ghost0"),
+                                            ("rbgs", 2, "ghost0")])
+def test_pc3d_matches_xla(kind, smoother, nu, bc):
+    """Covers the production fine-level path (bc='ghost0') as well as
+    the tuned coarse-level one (bc='face')."""
     u, f = _data((32, 64, 128), seed=5)
     rng = np.random.default_rng(6)
     V = jnp.asarray(rng.normal(size=(16, 32, 64)), jnp.float32)
     h = 1.0 / 64
-    got = pk._pc_fused_3d(u, f, V, h=h, nu=3, smoother="wjacobi",
-                          bc="face", kind=kind, interpret=True, hz=4,
+    hz = (2 if smoother == "rbgs" else 1) * nu + 1
+    got = pk._pc_fused_3d(u, f, V, h=h, nu=nu, smoother=smoother,
+                          bc=bc, kind=kind, interpret=True, hz=hz,
                           bz=8, by=32)
-    ref = xla.prolong_correct_smooth(u, f, V, h, 3, "wjacobi", "face",
-                                     kind)
+    ref = xla.prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
