@@ -104,6 +104,7 @@ class MultigridPoisson:
         self._solve_loop = jax.jit(self._build_solve_loop(step),
                                    donate_argnums=(0,))
         self._step_batched = None   # built lazily by solve_batched
+        self._solve_batched_loop = None
         self._fmg = None            # built lazily by init_state
 
     # ------------------------------------------------------------ state
@@ -252,11 +253,34 @@ class MultigridPoisson:
             for _ in range(cycles):
                 psis, errs = step_b(psis, fs, r0s)
             return psis, errs
-        for _ in range(self.spec.maxiter):
-            psis, errs = step_b(psis, fs, r0s)
-            worst = float(jnp.max(errs))
-            if worst < self.spec.tol or not math.isfinite(worst):
-                break
+        # until-converged: the whole batched loop runs on device as one
+        # lax.while_loop on the worst per-element metric — no per-cycle
+        # device->host readback (the sync the reference pays every
+        # cycle, `gpu.lua:362`)
+        if self._solve_batched_loop is None:
+            spec = self.spec
+            vstep = jax.vmap(self._step_fn)
+
+            def batched_loop(psis, fs, r0s):
+                def cond(carry):
+                    psis, it, errs = carry
+                    worst = jnp.max(errs)
+                    return (it < spec.maxiter) & (
+                        (it == 0) | ((worst >= spec.tol)
+                                     & jnp.isfinite(worst)))
+
+                def body(carry):
+                    psis, it, errs = carry
+                    psis, errs = vstep(psis, fs, r0s)
+                    return psis, it + 1, errs
+
+                errs0 = jnp.full((psis.shape[0],), jnp.inf, psis.dtype)
+                return jax.lax.while_loop(cond, body,
+                                          (psis, jnp.int32(0), errs0))
+
+            self._solve_batched_loop = jax.jit(batched_loop,
+                                               donate_argnums=(0,))
+        psis, _, errs = self._solve_batched_loop(psis, fs, r0s)
         return psis, errs
 
     def _solve_host_loop(self, psi, f, r0, error_callback):
