@@ -38,7 +38,17 @@ def run_study(size: int, scheme: str = "reference",
     if dtype == "float64" and not jax.config.jax_enable_x64:
         # the study defaults to f64 like the reference's fp64-preferring
         # device policy (`gpu.lua:7-15`); without this, jax silently
-        # truncates to f32 when run outside the x64-enabled test env
+        # truncates to f32 when run outside the x64-enabled test env.
+        # NOTE: jax_enable_x64 is PROCESS-GLOBAL and is deliberately not
+        # restored — flipping it back mid-process would invalidate jit
+        # caches and change dtypes under any concurrently live arrays.
+        # Callers embedding the study in an f32 process should run it in
+        # a subprocess (the CLI entry point already is one).
+        import warnings
+        warnings.warn(
+            "run_study(dtype='float64') enables jax_enable_x64 for the "
+            "REST OF THE PROCESS; run in a subprocess to scope it",
+            stacklevel=2)
         jax.config.update("jax_enable_x64", True)
 
     spec = Spec(size=size, dtype=dtype, scheme=scheme, tol=epsilon,

@@ -120,8 +120,22 @@ class Spec:
             raise ValueError(f"ndim must be 2 or 3, got {self.ndim}")
         if self.scheme not in SCHEMES:
             raise ValueError(f"unknown scheme {self.scheme!r}")
-        if self.smoother not in ("auto", "jacobi", "wjacobi", "rbgs"):
+        if self.smoother not in ("auto", "jacobi", "wjacobi", "rbgs",
+                                 "gs_lex"):
             raise ValueError(f"unknown smoother {self.smoother!r}")
+        if self.smoother == "gs_lex" and self.mesh_shape is not None:
+            # plain lexicographic GS is inherently sequential — exactly
+            # the race the reference documents on parallel hardware
+            # (`gpu.lua:61-62`); it exists for reference-trajectory
+            # reproduction on the XLA/CPU path, not for sharded runs
+            raise ValueError("smoother='gs_lex' is sequential; use "
+                             "'rbgs' under a device mesh")
+        if self.smoother == "gs_lex" and self.scheme != "reference":
+            # gs_lex is ghost0-only (like the reference); the tuned
+            # scheme's face-Dirichlet coarse levels would need a bc it
+            # does not implement
+            raise ValueError("smoother='gs_lex' requires "
+                             "scheme='reference' (ghost0 bc only)")
         if self.cycle not in ("v", "w", "fmg"):
             raise ValueError(f"unknown cycle {self.cycle!r}")
         if self.stop not in ("update", "residual"):

@@ -31,6 +31,9 @@ def get_ops(spec, level_size: int):
     """Return the op module to use for a level of side `level_size`."""
     if spec.backend == "xla":
         return xla
+    if spec.smoother_resolved == "gs_lex":
+        # sequential scan smoother — XLA-only by construction
+        return xla
     if spec.mesh_shape is not None:
         # Under a device mesh the GSPMD partitioner cannot split a
         # pallas_call (no partitioning rule for the custom call), so a

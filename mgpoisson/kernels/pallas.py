@@ -250,6 +250,11 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
     dtype = u.dtype
     n_stripes = n // bm
     assert n_stripes >= 2 and bm > 2 * halo, "caller picks the variant"
+    # the fresh-halo head copy (us[other] rows [0, 2*halo)) overlaps in
+    # time with the fresh DMA writing rows [2*halo, R) of the same
+    # buffer; their disjointness at (8, 128)-tile granularity requires
+    # the 8-row-aligned halo _smooth_plan always produces
+    assert halo % 8 == 0, "in-flight-DMA disjointness needs 8-row halo"
     R = bm + 2 * halo
     hsq = h * h
     adiag = -4.0 / hsq
@@ -767,12 +772,17 @@ def _rr_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
-                     "hr", "bm", "bcw"))
+                     "hr", "bm", "bcw", "rnorm"))
 def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
-                   kind: str, interpret: bool, hr: int, bm: int, bcw: int):
+                   kind: str, interpret: bool, hr: int, bm: int, bcw: int,
+                   rnorm: bool = False):
     """Two-axis-blocked: u += P(V), then nu sweeps.  The coarse block
     carries (8, 128) coarse halos = (16, 256) fine, covering the sweep
-    radius and the bilinear +-2 shift in both axes."""
+    radius and the bilinear +-2 shift in both axes.
+
+    rnorm: also return a (1, bcw) f32 partial-sum row of the result's
+    squared residual, accumulated over ALL blocks (callers sum it);
+    requires hr >= radius*nu + 1 (the composite plan guarantees it)."""
     n = u.shape[0]
     dtype = u.dtype
     hc = _HC
@@ -782,11 +792,17 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
     chr_, chc = 8, _HC
     Rc, Cc = bm // 2 + 2 * chr_, bcw // 2 + 2 * chc
     hsq = h * h
+    inv_hsq = 1.0 / hsq
     emat = _double_mat(bcw, dtype)
     assert hr <= 14
 
-    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm,
-               us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, ev, outs, racc,
+             in_sems, out_sems, e_sem, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
         edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
         edma.start()
 
@@ -845,6 +861,16 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
             uv = _sweeps_wide(uv, fs[slot], nu, smoother, bc, hsq,
                               hr, bm, hc, bcw, rf, rl, cf, cl)
 
+            if rnorm:
+                uv = _apply_row_bc(uv, bc, rf, rl, hr - 1, hr + bm)
+                uv = _apply_col_bc(uv, bc, cf, cl, hc - 1, hc + bcw)
+                rv = (fs[slot] - (_nbr_plain(uv) - 4.0 * uv)
+                      * jnp.asarray(inv_hsq, dtype))[hr:hr + bm,
+                                                     hc:hc + bcw]
+                rv = rv.astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
             @pl.when(b >= 2)
             def _():
                 pltpu.make_async_copy(
@@ -869,21 +895,39 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
                            pl.ds((k % ncs) * bcw, bcw)],
                 out_sems.at[slot]).wait()
 
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((n, n), dtype)
+    scratch = [
+        pltpu.VMEM((2, R, C), dtype),
+        pltpu.VMEM((2, R, C), dtype),
+        pltpu.VMEM((2, Rc, Cc), dtype),
+        pltpu.VMEM(emat.shape, dtype),
+        pltpu.VMEM((2, bm, bcw), dtype),
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, bcw), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, bcw), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, R, C), dtype),
-            pltpu.VMEM((2, R, C), dtype),
-            pltpu.VMEM((2, Rc, Cc), dtype),
-            pltpu.VMEM(emat.shape, dtype),
-            pltpu.VMEM((2, bm, bcw), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(u, f, V, emat)
@@ -907,10 +951,18 @@ def _plan3d(shape, nu, smoother, itemsize, composite=False):
     composite kernels carry one extra exact z-ring (the residual tail)
     and extra V/R block buffers."""
     nz, ny, nx = shape
+    if smoother not in ("jacobi", "wjacobi", "rbgs"):
+        return None
     radius = 2 if smoother == "rbgs" else 1
     hz = radius * nu + (1 if composite else 0)
     hy = 8
     if hz > hy:
+        return None
+    if composite and nx % min(_LANE_CHUNK, nx) != 0:
+        # the composites' MXU lane halve/double walk nx in _LANE_CHUNK
+        # chunks; a non-divisible nx (reachable via the public API with
+        # non-power-of-two shapes) must fall back to XLA rather than hit
+        # a trace-time shape error in _rr_fused_3d
         return None
     chz = (hz + 3) // 2          # coarse z halo of the pc kernel
     best = None
@@ -1312,12 +1364,17 @@ def _rr_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
-                     "hz", "bz", "by"))
+                     "hz", "bz", "by", "rnorm"))
 def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
-                 kind: str, interpret: bool, hz: int, bz: int, by: int):
+                 kind: str, interpret: bool, hz: int, bz: int, by: int,
+                 rnorm: bool = False):
     """3D blocked: u += P(V) (2x upsample, optionally trilinear), then
     nu sweeps.  Coarse halos (8, 8) = (16, 16) fine cover the sweep
-    radius and the trilinear +-2 shift on both blocked axes."""
+    radius and the trilinear +-2 shift on both blocked axes.
+
+    rnorm: also return a (1, by, nx) f32 partial-sum slab of the
+    result's squared residual accumulated over all blocks (the
+    composite plan's hz = radius*nu + 1 keeps the needed exact ring)."""
     nz, ny, nx = u.shape
     dtype = u.dtype
     hy = 8
@@ -1330,11 +1387,17 @@ def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
     chz, chy = (hz + 3) // 2, 8
     Rcz, Rcy = bz // 2 + 2 * chz, by // 2 + 2 * chy
     hsq = h * h
+    inv_hsq = 1.0 / hsq
     emat = _double_mat(nx, dtype)
     assert hz <= 14 and hy <= 14 and chz <= bz // 2 and chy <= by // 2
 
-    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm,
-               us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, ev, outs, racc,
+             in_sems, out_sems, e_sem, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
         edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
         edma.start()
 
@@ -1393,6 +1456,15 @@ def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
             uv = _sweeps3(uv, fs[slot], nu, smoother, bc, hsq,
                           hz, bz, hy, by, zf, zl, yf, yl)
 
+            if rnorm:
+                uv = _apply_bc_3d(uv, bc, zf, zl, yf, yl, hz, bz, hy, by)
+                rv = (fs[slot] - (_nbr3(uv, bc) - 6.0 * uv)
+                      * jnp.asarray(inv_hsq, dtype))[hz:hz + bz,
+                                                     hy:hy + by, :]
+                rv = rv.astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
             @pl.when(b >= 2)
             def _():
                 pltpu.make_async_copy(
@@ -1419,21 +1491,39 @@ def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
                            pl.ds((k % nys) * by, by)],
                 out_sems.at[slot]).wait()
 
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((nz, ny, nx), dtype)
+    scratch = [
+        pltpu.VMEM((2, Rz, Ry, nx), dtype),
+        pltpu.VMEM((2, Rz, Ry, nx), dtype),
+        pltpu.VMEM((2, Rcz, Rcy, nx // 2), dtype),
+        pltpu.VMEM(emat.shape, dtype),
+        pltpu.VMEM((2, bz, by, nx), dtype),
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, by, nx), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, by, nx), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, Rz, Ry, nx), dtype),
-            pltpu.VMEM((2, Rz, Ry, nx), dtype),
-            pltpu.VMEM((2, Rcz, Rcy, nx // 2), dtype),
-            pltpu.VMEM(emat.shape, dtype),
-            pltpu.VMEM((2, bz, by, nx), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(u, f, V, emat)
@@ -1474,6 +1564,8 @@ def _smooth3(u, f, h, nu, smoother, bc):
 def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     if nu == 0:
         return u
+    if smoother not in ("jacobi", "wjacobi", "rbgs"):
+        return xla.smooth(u, f, h, nu, smoother, bc)
     if u.ndim == 3 and _supported3(u):
         return _smooth3(u, f, h, nu, smoother, bc)
     if not _supported(u):
@@ -1764,15 +1856,22 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
-                     "halo", "bm"))
+                     "halo", "bm", "rnorm"))
 def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
-                     kind: str, interpret: bool, halo: int, bm: int):
+                     kind: str, interpret: bool, halo: int, bm: int,
+                     rnorm: bool = False):
     """u += P(V) then nu sweeps; one HBM round trip (V read once).
 
     The coarse stripe is loaded with an 8-row coarse halo (16 fine rows
     >= halo + 2, covering both the sweeps' dependency radius and the
     bilinear +-2 shift); stale clipped rows fall in the fine ghost
     region, which the per-sweep boundary fixups overwrite.
+
+    rnorm: additionally return a (1, n) f32 row of column-partial
+    sums of the result's squared residual (sum it for ||r||^2) —
+    stop='residual' for free: u and f are already in VMEM, and the
+    shared _fused_plan halo (radius*nu + 1) keeps one exact ring for
+    the residual's neighbor reads.
     """
     n = u.shape[0]
     nc = n // 2
@@ -1784,10 +1883,16 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
     chalo = 8
     Rc = bm // 2 + 2 * chalo
     hsq = h * h
+    inv_hsq = 1.0 / hsq
     emat = _double_mat(n, dtype)
 
-    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm,
-               us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+    def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, ev, outs, racc,
+             in_sems, out_sems, e_sem, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
         edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
         edma.start()
 
@@ -1840,6 +1945,17 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
             uv = _sweeps(uv, fs[slot], nu, smoother, bc, hsq, 0.0,
                          halo, bm, is_first, is_last)
 
+            if rnorm:
+                # ghosts must hold boundary data for the residual reads
+                # (center rows are untouched by the fixup)
+                uv = _apply_row_bc(uv, bc, is_first, is_last, halo - 1,
+                                   halo + bm)
+                rv = (fs[slot] - (_nbr(uv, bc) - 4.0 * uv)
+                      * jnp.asarray(inv_hsq, dtype))[halo:halo + bm, :]
+                rv = rv.astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
             @pl.when(i >= 2)
             def _():
                 pltpu.make_async_copy(
@@ -1861,21 +1977,39 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
                 outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
                 out_sems.at[slot]).wait()
 
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((n, n), dtype)
+    scratch = [
+        pltpu.VMEM((2, R_, n), dtype),        # u stripes
+        pltpu.VMEM((2, R_, n), dtype),        # f stripes
+        pltpu.VMEM((2, Rc, nc), dtype),       # V stripes
+        pltpu.VMEM(emat.shape, dtype),        # lane-double matrix
+        pltpu.VMEM((2, bm, n), dtype),        # out stripes
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, n), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, n), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, R_, n), dtype),        # u stripes
-            pltpu.VMEM((2, R_, n), dtype),        # f stripes
-            pltpu.VMEM((2, Rc, nc), dtype),       # V stripes
-            pltpu.VMEM(emat.shape, dtype),        # lane-double matrix
-            pltpu.VMEM((2, bm, n), dtype),        # out stripes
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(u, f, V, emat)
@@ -1913,26 +2047,39 @@ def _rr_whole(u, f, *, h, nu, smoother, bc, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret"))
-def _pc_whole(u, f, V, *, h, nu, smoother, bc, kind, interpret):
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
+                     "rnorm"))
+def _pc_whole(u, f, V, *, h, nu, smoother, bc, kind, interpret,
+              rnorm: bool = False):
     n = u.shape[0]
     dtype = u.dtype
     hsq = h * h
     emat = _double_mat(n, dtype)
 
-    def kernel(u_ref, f_ref, v_ref, e_ref, out_ref):
+    def kernel(u_ref, f_ref, v_ref, e_ref, out_ref, *maybe_r):
         v2 = jnp.repeat(v_ref[:], 2, axis=0)
         vf = _lane_double(v2, e_ref[:])
         if kind == "bilinear":
             vf = _bilinear_blend_2d(vf, 0, n - 1, True, True, n)
         uv = u_ref[:] + vf
-        out_ref[:] = _whole_sweeps(uv, f_ref[:], nu, smoother, bc, hsq)
+        uv = _whole_sweeps(uv, f_ref[:], nu, smoother, bc, hsq)
+        out_ref[:] = uv
+        if rnorm:
+            rv = (f_ref[:] - (_nbr_full(uv, bc) - 4.0 * uv)
+                  * jnp.asarray(1.0 / hsq, dtype)).astype(jnp.float32)
+            maybe_r[0][:] = jnp.sum(rv * rv, axis=0, keepdims=True)
 
+    out_shape = jax.ShapeDtypeStruct((n, n), dtype)
+    out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, n), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(u, f, V, emat)
 
@@ -1974,6 +2121,8 @@ def _fused_plan_or_whole(u, nu, smoother):
     """Returns ('striped', halo, bm) | ('whole', 0, 0) |
     ('wide', hr, (bm, bc)) | None."""
     if not _supported(u) or nu < 1:
+        return None
+    if smoother not in ("jacobi", "wjacobi", "rbgs"):
         return None
     if nu > (4 if smoother == "rbgs" else 8):
         return None
@@ -2058,6 +2207,441 @@ def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
                          bc=bc, kind=kind, interpret=_interpret())
     u = xla.prolong_correct(u, V, kind)
     return smooth(u, f, h, nu, smoother, bc)
+
+
+def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
+                                 bc="ghost0", kind="inject"):
+    """Up-leg + the squared residual norm of the result: (u, sum(r^2)).
+
+    Same contract as xla.prolong_correct_smooth_rnorm, but the norm
+    falls out of the fused kernel's output drain — u and f are already
+    in VMEM on the last pass, so stop='residual' costs no extra HBM
+    round trip (the N9 host-sync elimination of `gpu.lua:361-369`
+    taken to its conclusion)."""
+    if u.ndim == 3 and _supported3(u) and 1 <= nu:
+        p3 = _plan3d(u.shape, nu, smoother,
+                     jnp.dtype(u.dtype).itemsize, composite=True)
+        if p3 is not None:
+            hz, bz, by = p3
+            u, racc = _pc_fused_3d(u, f, V, h=float(h), nu=nu,
+                                   smoother=smoother, bc=bc, kind=kind,
+                                   interpret=_interpret(), hz=hz, bz=bz,
+                                   by=by, rnorm=True)
+            return u, jnp.sum(racc)
+    if u.ndim == 2:
+        plan = _fused_plan_or_whole(u, nu, smoother)
+        if plan is not None:
+            mode, halo, bm = plan
+            if mode == "striped":
+                u, racc = _pc_smooth_fused(u, f, V, h=float(h), nu=nu,
+                                           smoother=smoother, bc=bc,
+                                           kind=kind,
+                                           interpret=_interpret(),
+                                           halo=halo, bm=bm, rnorm=True)
+            elif mode == "wide":
+                bm_w, bc_w = bm
+                u, racc = _pc_fused_wide(u, f, V, h=float(h), nu=nu,
+                                         smoother=smoother, bc=bc,
+                                         kind=kind,
+                                         interpret=_interpret(), hr=halo,
+                                         bm=bm_w, bcw=bc_w, rnorm=True)
+            else:
+                u, racc = _pc_whole(u, f, V, h=float(h), nu=nu,
+                                    smoother=smoother, bc=bc, kind=kind,
+                                    interpret=_interpret(), rnorm=True)
+            return u, jnp.sum(racc)
+    return xla.prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother,
+                                            bc, kind)
+
+
+# =====================================================================
+# sharded (per-shard) fused half-level kernels
+# =====================================================================
+# The shard_map SPMD path (mgpoisson.shard.spmd) hands each device its
+# local block plus ppermute-exchanged HALO STRIPS:
+#   top/bottom: (h8, ml)            — body columns of the row neighbor
+#   left/right: (nl + 2*h8, _HC)    — column neighbor INCLUDING the
+#                                     diagonal corners (chained permute)
+# These kernels run the fused smooth+residual+restrict / prolong+
+# correct+smooth half-levels on (body, strips) directly — the strips
+# are never concatenated into an extended array in HBM (that would be
+# an extra full round trip).  Each row stripe's VMEM window
+# (bm + 2*h8, _HC + ml + _HC) is assembled by 3-5 disjoint DMAs (left
+# strip, right strip, clipped body, top/bottom strip head/tail), and
+# the compute is the existing _sweeps_wide with TRACED edge flags:
+# a device whose shard touches the global boundary applies the real
+# per-sweep bc fixups there, an interior device lets the strip region
+# degrade one ring per sweep — the same deep-halo trapezoid, composed
+# across devices.  Exchange depth == the kernel's 8-aligned stripe halo
+# h8, so every DMA offset stays (8,128)-aligned and no clipping case
+# reads outside a strip.
+#
+# Reference bar: the fine-level kernels ARE the hot path
+# (`gpu.lua:286-346`); this makes the single-chip fused-kernel win
+# apply per shard under the explicit partition (BASELINE config 5).
+
+
+def sharded_plan(shape, nu, smoother, dtype, composite=True):
+    """(h8, bm) stripe geometry for the strip kernels, or None.
+
+    shape: the LOCAL block (nl, ml).  h8 is both the in-kernel stripe
+    halo and the strip exchange depth the caller must use."""
+    if len(shape) != 2 or nu < 1:
+        return None
+    if smoother not in ("jacobi", "wjacobi", "rbgs"):
+        return None
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
+        return None
+    nl, ml = shape
+    if nl < 64 or ml < 256 or ml % 256 or nl % 16:
+        return None
+    radius = 2 if smoother == "rbgs" else 1
+    need = radius * nu + (1 if composite else 0)
+    h8 = -(-need // 8) * 8
+    if h8 > 14:        # coarse-halo fine coverage (16) must exceed h8+2
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    C = ml + 2 * _HC
+    bm = nl
+    best = None
+    while bm >= 16:
+        if (nl % bm == 0 and nl // bm >= 2 and bm % 16 == 0
+                and bm >= h8):
+            vmem = itemsize * (4 * (bm + 2 * h8) * C + 2 * bm * ml
+                               + 2 * (bm // 2) * (ml // 2)
+                               + 2 * (bm // 2 + 16) * (ml // 2 + 2 * _HC))
+            if vmem <= _VMEM_BUDGET:
+                best = (h8, bm)
+                break
+        bm //= 2
+    return best
+
+
+def _strip_stripe_in(op, body, top, bot, left, right, vref, sems, i,
+                     slot, bm, h8, n_str, ml):
+    """Start/wait the 3-5 DMAs assembling stripe i of (body + strips)
+    into vref[slot] of shape (bm + 2*h8, _HC + ml + _HC).  sems has a
+    leading dim of 5 (left, right, body, head, tail)."""
+    R = bm + 2 * h8
+    CH = _HC
+
+    def dma(src, rows_dst, cols_dst, sem):
+        getattr(pltpu.make_async_copy(
+            src, vref.at[slot, rows_dst, cols_dst], sem), op)()
+
+    # left/right strips: rows [i*bm, i*bm + R) — always in range
+    dma(left.at[pl.ds(_mult8(i * bm), R)],
+        pl.ds(0, R), pl.ds(0, CH), sems.at[slot, 0])
+    dma(right.at[pl.ds(_mult8(i * bm), R)],
+        pl.ds(0, R), pl.ds(CH + ml, CH), sems.at[slot, 1])
+
+    # clipped body window [i*bm - h8, i*bm + bm + h8)
+    @pl.when(i == 0)
+    def _():
+        dma(body.at[pl.ds(0, R - h8)],
+            pl.ds(h8, R - h8), pl.ds(CH, ml), sems.at[slot, 2])
+
+    @pl.when((i > 0) & (i < n_str - 1))
+    def _():
+        dma(body.at[pl.ds(_mult8(i * bm - h8), R)],
+            pl.ds(0, R), pl.ds(CH, ml), sems.at[slot, 2])
+
+    @pl.when(i == n_str - 1)
+    def _():
+        dma(body.at[pl.ds(_mult8(i * bm - h8), R - h8)],
+            pl.ds(0, R - h8), pl.ds(CH, ml), sems.at[slot, 2])
+
+    # head/tail rows from the row-neighbor strips (real neighbor data
+    # or the collective's zero fill at global edges — never stale)
+    @pl.when(i == 0)
+    def _():
+        dma(top.at[pl.ds(0, h8)],
+            pl.ds(0, h8), pl.ds(CH, ml), sems.at[slot, 3])
+
+    @pl.when(i == n_str - 1)
+    def _():
+        dma(bot.at[pl.ds(0, h8)],
+            pl.ds(R - h8, h8), pl.ds(CH, ml), sems.at[slot, 4])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret", "h8", "bm"))
+def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
+                *, h: float, nu: int, smoother: str, bc: str,
+                interpret: bool, h8: int, bm: int):
+    """Per-shard fused pre-smooth x nu + residual + restrict on a local
+    block with pre-exchanged halo strips.  Returns (u_center, R)."""
+    nl, ml = u.shape
+    dtype = u.dtype
+    CH = _HC
+    n_str = nl // bm
+    R, C = bm + 2 * h8, ml + 2 * CH
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h, fl_h,
+               fr_h, flags_ref, p_hbm, out_hbm, rout_hbm,
+               us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+               p_sem):
+        rf_dev = flags_ref[0] == 1
+        rl_dev = flags_ref[1] == 1
+        cf_dev = flags_ref[2] == 1
+        cl_dev = flags_ref[3] == 1
+
+        pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
+        pdma.start()
+
+        def issue(i, slot):
+            _strip_stripe_in("start", u_hbm, ut_h, ub_h, ul_h, ur_h, us,
+                             in_sems.at[0], i, slot, bm, h8, n_str, ml)
+            _strip_stripe_in("start", f_hbm, ft_h, fb_h, fl_h, fr_h, fs,
+                             in_sems.at[1], i, slot, bm, h8, n_str, ml)
+
+        issue(0, 0)
+        pdma.wait()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_str)
+            def _():
+                issue(i + 1, jax.lax.rem(i + 1, 2))
+
+            _strip_stripe_in("wait", u_hbm, ut_h, ub_h, ul_h, ur_h, us,
+                             in_sems.at[0], i, slot, bm, h8, n_str, ml)
+            _strip_stripe_in("wait", f_hbm, ft_h, fb_h, fl_h, fr_h, fs,
+                             in_sems.at[1], i, slot, bm, h8, n_str, ml)
+
+            rf = (i == 0) & rf_dev
+            rl = (i == n_str - 1) & rl_dev
+            uv = _sweeps_wide(us[slot], fs[slot], nu, smoother, bc, hsq,
+                              h8, bm, CH, ml, rf, rl, cf_dev, cl_dev)
+            # ghosts must hold boundary data for the residual reads
+            uv = _apply_row_bc(uv, bc, rf, rl, h8 - 1, h8 + bm)
+            uv = _apply_col_bc(uv, bc, cf_dev, cl_dev, CH - 1, CH + ml)
+
+            rv_full = fs[slot] - (_nbr_plain(uv) - 4.0 * uv) \
+                * jnp.asarray(inv_hsq, dtype)
+            rv = rv_full[h8:h8 + bm, CH:CH + ml]
+            s = rv.reshape(bm // 2, 2, ml).sum(axis=1)
+            Rv = _lane_halve(s, pv[:]) * jnp.asarray(0.25, dtype)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot], rout_hbm.at[pl.ds(0, bm // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = uv[h8:h8 + bm, CH:CH + ml]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(i * (bm // 2), 8),
+                                  bm // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_str, body, 0)
+
+        for k in (n_str - 2, n_str - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nl, ml), dtype),
+                   jax.ShapeDtypeStruct((nl // 2, ml // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM(_halve_mat(ml, dtype).shape, dtype),
+            pltpu.VMEM((2, bm, ml), dtype),
+            pltpu.VMEM((2, bm // 2, ml // 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
+                     "h8", "bm"))
+def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
+                flags, emat_in, *, h: float, nu: int, smoother: str,
+                bc: str, kind: str, interpret: bool, h8: int, bm: int):
+    """Per-shard fused u += P(V) + post-smooth x nu with pre-exchanged
+    strips for u, f (fine, depth h8) and V (coarse, depth 8)."""
+    nl, ml = u.shape
+    dtype = u.dtype
+    CH = _HC
+    n_str = nl // bm
+    R, C = bm + 2 * h8, ml + 2 * CH
+    chalo, CHc = 8, _HC
+    Rc = bm // 2 + 2 * chalo
+    hsq = h * h
+    assert h8 <= 14, "coarse halo of 8 covers fine halo + bilinear shift"
+
+    def kernel(u_hbm, f_hbm, v_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h,
+               fl_h, fr_h, vt_h, vb_h, vl_h, vr_h, flags_ref, e_hbm,
+               out_hbm, us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+        rf_dev = flags_ref[0] == 1
+        rl_dev = flags_ref[1] == 1
+        cf_dev = flags_ref[2] == 1
+        cl_dev = flags_ref[3] == 1
+
+        edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
+        edma.start()
+
+        def issue(i, slot):
+            _strip_stripe_in("start", u_hbm, ut_h, ub_h, ul_h, ur_h, us,
+                             in_sems.at[0], i, slot, bm, h8, n_str, ml)
+            _strip_stripe_in("start", f_hbm, ft_h, fb_h, fl_h, fr_h, fs,
+                             in_sems.at[1], i, slot, bm, h8, n_str, ml)
+            _strip_stripe_in("start", v_hbm, vt_h, vb_h, vl_h, vr_h, vs,
+                             in_sems.at[2], i, slot, bm // 2, chalo,
+                             n_str, ml // 2)
+
+        issue(0, 0)
+        edma.wait()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_str)
+            def _():
+                issue(i + 1, jax.lax.rem(i + 1, 2))
+
+            _strip_stripe_in("wait", u_hbm, ut_h, ub_h, ul_h, ur_h, us,
+                             in_sems.at[0], i, slot, bm, h8, n_str, ml)
+            _strip_stripe_in("wait", f_hbm, ft_h, fb_h, fl_h, fr_h, fs,
+                             in_sems.at[1], i, slot, bm, h8, n_str, ml)
+            _strip_stripe_in("wait", v_hbm, vt_h, vb_h, vl_h, vr_h, vs,
+                             in_sems.at[2], i, slot, bm // 2, chalo,
+                             n_str, ml // 2)
+
+            rf = (i == 0) & rf_dev
+            rl = (i == n_str - 1) & rl_dev
+            # expand the coarse stripe: rows x2 (sublane repeat), lanes
+            # x2 on the MXU; coarse window starts at fine row
+            # i*bm - 2*chalo, fine col -2*CHc
+            v2 = jnp.repeat(vs[slot], 2, axis=0)      # (bm + 4*chalo, ..)
+            vf = _lane_double(v2, ev[:])              # (.., ml + 4*CHc)
+            if kind == "bilinear":
+                # zero anything outside the grid before the blend: at
+                # global edges the strip data is the collective's zero
+                # fill already, but the +-2 shift must see hard zeros
+                ridx = jax.lax.broadcasted_iota(jnp.int32,
+                                                (vf.shape[0], 1), 0)
+                cidx = jax.lax.broadcasted_iota(jnp.int32,
+                                                (1, vf.shape[1]), 1)
+                vf = jnp.where(rf & (ridx < 2 * chalo), 0.0, vf)
+                vf = jnp.where(rl & (ridx >= bm + 2 * chalo), 0.0, vf)
+                vf = jnp.where(cf_dev & (cidx < 2 * CHc), 0.0, vf)
+                vf = jnp.where(cl_dev & (cidx >= ml + 2 * CHc), 0.0, vf)
+                vf = _bilinear_blend_2d(
+                    vf, 2 * chalo, bm + 2 * chalo - 1, rf, rl,
+                    vf.shape[1], left_col=2 * CHc,
+                    right_col=ml + 2 * CHc - 1, cf=cf_dev, cl=cl_dev)
+            # slice to the u stripe's window (rows i*bm - h8, cols -CH)
+            vf = vf[2 * chalo - h8:2 * chalo - h8 + R,
+                    2 * CHc - CH:2 * CHc - CH + C]
+
+            uv = us[slot] + vf
+            uv = _sweeps_wide(uv, fs[slot], nu, smoother, bc, hsq,
+                              h8, bm, CH, ml, rf, rl, cf_dev, cl_dev)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[h8:h8 + bm, CH:CH + ml]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_str, body, 0)
+
+        for k in (n_str - 2, n_str - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nl, ml), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 15
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, R, C), dtype),
+            pltpu.VMEM((2, Rc, ml // 2 + 2 * CHc), dtype),
+            pltpu.VMEM(_double_mat(ml, dtype).shape, dtype),
+            pltpu.VMEM((2, bm, ml), dtype),
+            pltpu.SemaphoreType.DMA((3, 2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr, flags,
+      emat_in)
+
+
+def smooth_rr_sharded(u, f, ustrips, fstrips, flags, h, nu,
+                      smoother="jacobi", bc="ghost0", *, plan):
+    """Per-shard fused pre-smooth + residual + restrict (see the
+    section comment).  ustrips/fstrips = (top, bottom, left_full,
+    right_full) at exchange depth plan[0]; flags = (4,) int32
+    [row_first, row_last, col_first, col_last]."""
+    h8, bm = plan
+    pmat = _halve_mat(u.shape[1], u.dtype)
+    return _rr_sharded(u, f, *ustrips, *fstrips, flags, pmat,
+                       h=float(h), nu=nu, smoother=smoother, bc=bc,
+                       interpret=_interpret(), h8=h8, bm=bm)
+
+
+def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
+                      smoother="jacobi", bc="ghost0", kind="inject",
+                      *, plan):
+    """Per-shard fused prolong + correct + post-smooth.  vstrips are
+    exchanged on the COARSE grid at depth 8 (rows) / 128 (cols)."""
+    h8, bm = plan
+    emat = _double_mat(u.shape[1], u.dtype)
+    return _pc_sharded(u, f, V, *ustrips, *fstrips, *vstrips, flags,
+                       emat, h=float(h), nu=nu, smoother=smoother,
+                       bc=bc, kind=kind, interpret=_interpret(), h8=h8,
+                       bm=bm)
 
 
 # ---------------------------------------------------------------------

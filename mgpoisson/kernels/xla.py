@@ -75,8 +75,80 @@ def rbgs_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
     return u
 
 
+def gs_lex_sweep(u: jax.Array, f: jax.Array, h, bc: str = "ghost0") -> jax.Array:
+    """Lexicographic Gauss-Seidel in the reference's exact loop order
+    (`cpu.lua:24-37`: in-place, last axis innermost — the smoother every
+    reference variant offers, `gpu.lua:63-81`).  Inherently sequential:
+    jittable via lax.scan over leading axes and a first-order linear
+    recurrence along the last axis (u_k = c_k + u_{k-1}/(2*ndim),
+    solved with an associative scan).  XLA/CPU parity path — use
+    'rbgs' for the deterministic PARALLEL Gauss-Seidel on TPU; plain GS
+    on parallel hardware is the race the reference documents
+    (`gpu.lua:61-62`).  bc='ghost0' only (like the oracle's
+    gs_lex_sweep; the reference has no other bc)."""
+    if bc != "ghost0":
+        raise ValueError("gs_lex supports bc='ghost0' only")
+    nd = u.ndim
+    hsq = h * h
+    adiag = -2.0 * nd / hsq
+    kk = jnp.asarray(1.0 / (2.0 * nd), u.dtype)   # -(1/hsq)/adiag
+
+    def comb(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    def solve_row(c):
+        """u_k = kk * u_{k-1} + c_k with zero left ghost."""
+        a = jnp.full_like(c, kk).at[..., 0].set(0.0)
+        _, b = jax.lax.associative_scan(comb, (a, c), axis=c.ndim - 1)
+        return b
+
+    def shifted_old(row):
+        """old right neighbor along the last axis (zero ghost)."""
+        z = jnp.zeros_like(row[..., :1])
+        return jnp.concatenate([row[..., 1:], z], axis=-1)
+
+    zrow = jnp.zeros_like(u[(0,) * (nd - 1)])
+
+    if nd == 2:
+        def body(up_new, xs):
+            f_row, old_row, old_down = xs
+            c = (f_row - (up_new + old_down + shifted_old(old_row))
+                 / hsq) / adiag
+            new_row = solve_row(c)
+            return new_row, new_row
+
+        old_down = jnp.concatenate([u[1:], zrow[None]], axis=0)
+        _, out = jax.lax.scan(body, zrow, (f, u, old_down))
+        return out
+
+    assert nd == 3
+    zplane = jnp.zeros_like(u[0])
+
+    def plane_body(plane_up_new, xs):
+        f_pl, old_pl, old_pl_down = xs
+
+        def row_body(row_up_new, xs_r):
+            f_row, pu_row, pd_row, old_row, old_row_down = xs_r
+            c = (f_row - (row_up_new + pu_row + pd_row + old_row_down
+                          + shifted_old(old_row)) / hsq) / adiag
+            new_row = solve_row(c)
+            return new_row, new_row
+
+        old_row_down = jnp.concatenate([old_pl[1:], zrow[None]], axis=0)
+        _, new_pl = jax.lax.scan(
+            row_body, zrow,
+            (f_pl, plane_up_new, old_pl_down, old_pl, old_row_down))
+        return new_pl, new_pl
+
+    old_pl_down = jnp.concatenate([u[1:], zplane[None]], axis=0)
+    _, out = jax.lax.scan(plane_body, zplane, (f, u, old_pl_down))
+    return out
+
+
 _SWEEPS = {"jacobi": jacobi_sweep, "wjacobi": wjacobi_sweep,
-           "rbgs": rbgs_sweep}
+           "rbgs": rbgs_sweep, "gs_lex": gs_lex_sweep}
 
 
 def smooth(u: jax.Array, f: jax.Array, h, nu: int,
@@ -222,6 +294,23 @@ def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
     """u += P(V), then post-smooth x nu."""
     u = prolong_correct(u, V, kind)
     return smooth(u, f, h, nu, smoother, bc)
+
+
+def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
+                                 bc="ghost0", kind="inject"):
+    """Up-leg + the squared residual norm of the result: (u, sum(r^2)).
+
+    Fine-level-only composite that makes stop='residual' (nearly) free:
+    the solver's convergence metric comes out of the half-level that
+    already has u and f at hand instead of a separate full-grid pass
+    (the N9 host-sync elimination of `gpu.lua:361-369` taken to its
+    conclusion).  The residual always uses the fine-level zero-ghost
+    operator, matching residual_norm."""
+    u = prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
+    r = residual(u, f, h, "ghost0")
+    acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
+    r = r.astype(acc)
+    return u, jnp.sum(r * r)
 
 
 # ------------------------------------------------------------------- metrics

@@ -47,9 +47,18 @@ def global_mesh(mesh_shape: Optional[Tuple[int, int]] = None,
         np.asarray(devices).reshape(mesh_shape), tuple(axis_names))
 
 
-def make_global_array(local_np, mesh, spec_like):
+def make_global_array(local_np, mesh, spec_like=None):
     """Assemble a global jax.Array from per-process local blocks via
-    jax.make_array_from_process_local_data."""
+    jax.make_array_from_process_local_data.
+
+    The partition matches the solver's layout (mgpoisson.shard.spmd):
+    the first two array axes ride the ('x', 'y') mesh axes and any
+    trailing axes stay local — so a 3D grid gets P('x', 'y', None).
+    spec_like is unused (the rank comes from local_np) and kept only
+    for call-site compatibility."""
+    del spec_like
     from jax.sharding import NamedSharding, PartitionSpec as P
-    sharding = NamedSharding(mesh, P("x", "y"))
+    ndim = local_np.ndim
+    axes = ["x", "y"][:min(2, ndim)] + [None] * (ndim - 2)
+    sharding = NamedSharding(mesh, P(*axes))
     return jax.make_array_from_process_local_data(sharding, local_np)

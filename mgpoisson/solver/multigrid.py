@@ -82,18 +82,23 @@ class MultigridPoisson:
                 err = err_upd if spec.stop == "update" else rn / r0
                 return psi_new, err
         else:
-            cycle = make_cycle(spec, constrain=constrain)
+            want_rnorm = spec.stop == "residual"
+            cycle = make_cycle(spec, constrain=constrain, rnorm=want_rnorm)
 
             def step(psi, f, r0):
                 """One V-cycle; err per spec.stop ('update': RMS of the
-                iterate update, `cpu.lua:203`; 'residual': ||r||/||r0||)."""
+                iterate update, `cpu.lua:203`; 'residual': ||r||/||r0||,
+                with ||r|| fused into the cycle's fine up-leg kernel —
+                no separate full-grid residual pass (free residual
+                stopping)."""
                 if constrain is not None:
                     psi, f = constrain(psi), constrain(f)
-                psi_new = cycle(psi, f, h)
-                if spec.stop == "update":
-                    err = xla_ops.rms_update(psi_new, psi)
+                if want_rnorm:
+                    psi_new, r2 = cycle(psi, f, h)
+                    err = jnp.sqrt(r2).astype(r0.dtype) / r0
                 else:
-                    err = xla_ops.residual_norm(psi_new, f, h) / r0
+                    psi_new = cycle(psi, f, h)
+                    err = xla_ops.rms_update(psi_new, psi)
                 return psi_new, err
 
         # err history dtype: match solve precision (f32 floor otherwise)
@@ -285,9 +290,17 @@ class MultigridPoisson:
 
     def _solve_host_loop(self, psi, f, r0, error_callback):
         # a 3-parameter callback also receives the live iterate (the
-        # reference hook reads mg.psi, `converge-…lua:23-27`)
+        # reference hook reads mg.psi, `converge-…lua:23-27`).  Only
+        # parameters WITHOUT defaults count toward the arity: a 2-arg
+        # callback with an extra keyword default (cb(it, err,
+        # verbose=False)) must not be handed the full psi array
         try:
-            n_params = len(inspect.signature(error_callback).parameters)
+            params = inspect.signature(error_callback).parameters.values()
+            n_params = sum(
+                1 for p in params
+                if p.default is inspect.Parameter.empty
+                and p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                               inspect.Parameter.POSITIONAL_OR_KEYWORD))
         except (TypeError, ValueError):
             n_params = 2
         wants_psi = n_params >= 3

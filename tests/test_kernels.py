@@ -129,3 +129,28 @@ def test_wjacobi_sweep(shape, bc):
     got = np.asarray(xla.wjacobi_sweep(jnp.asarray(u), jnp.asarray(f), h, bc))
     np.testing.assert_allclose(got, oracle.wjacobi_sweep(u, f, h, bc),
                                rtol=1e-11, atol=1e-13)
+
+
+@pytest.mark.parametrize("shape", SHAPES, ids=str)
+def test_gs_lex_sweep(shape):
+    # lexicographic Gauss-Seidel (`cpu.lua:24-37`): the scan-based XLA
+    # form must reproduce the oracle's strictly sequential update order
+    # (ghost0 only, like the reference)
+    u, f = _rand(shape, 31), _rand(shape, 32)
+    h = 1.0 / shape[0]
+    got = np.asarray(xla.gs_lex_sweep(jnp.asarray(u), jnp.asarray(f), h))
+    np.testing.assert_allclose(got, oracle.gs_lex_sweep(u, f, h),
+                               rtol=1e-11, atol=1e-12)
+    # multi-sweep through the public smooth() dispatch
+    got3 = np.asarray(xla.smooth(jnp.asarray(u), jnp.asarray(f), h, 3,
+                                 "gs_lex"))
+    want3 = u.copy()
+    for _ in range(3):
+        want3 = oracle.gs_lex_sweep(want3, f, h)
+    np.testing.assert_allclose(got3, want3, rtol=1e-10, atol=1e-11)
+
+
+def test_gs_lex_rejects_face_bc():
+    u = jnp.zeros((8, 8))
+    with pytest.raises(ValueError):
+        xla.gs_lex_sweep(u, u, 0.125, bc="face")

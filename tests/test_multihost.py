@@ -61,6 +61,28 @@ for shard in psi.addressable_shards:
     np.testing.assert_allclose(np.asarray(shard.data),
                                psi_ref[shard.index], rtol=1e-6, atol=1e-6)
 assert abs(err_f - float(err_ref)) <= 1e-6 * max(abs(float(err_ref)), 1.0)
+
+# 3D: the grid shards axes (0, 1) over ('x', 'y'), axis 2 local —
+# make_global_array must emit P('x', 'y', None) for rank-3 blocks
+size3 = 8
+spec3 = Spec(size=size3, ndim=3, dtype="float32", scheme="tuned",
+             backend="xla", maxiter=2, replicate_below=4)
+f3_np = np.zeros((size3,) * 3, np.float32)
+f3_np[(size3 // 2,) * 3] = -1e6
+rows3 = size3 // nproc
+f3 = multihost.make_global_array(f3_np[pid * rows3:(pid + 1) * rows3],
+                                 mesh, spec3)
+assert f3.shape == (size3,) * 3
+mg3 = MultigridPoisson(spec3, mesh=mesh)
+psi3, err3 = mg3.step(-f3, f3)
+assert np.isfinite(float(err3))
+psi3_ref, err3_ref = MultigridPoisson(spec3).step(
+    jnp.asarray(-f3_np), jnp.asarray(f3_np))
+psi3_ref = np.asarray(psi3_ref)
+for shard in psi3.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data),
+                               psi3_ref[shard.index], rtol=1e-6, atol=1e-6)
+
 print(f"proc {{pid}} OK err={{err_f}}")
 """.format(repo=REPO)
 

@@ -118,3 +118,45 @@ def test_fmg_solve_mode_faster_start():
     assert res_f.converged
     a, b = np.asarray(res_f.psi), np.asarray(res_v.psi)
     assert np.abs(a - b).max() / np.abs(b).max() < 1e-6
+
+
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    # the multi-host layout (per-process shard files, VERDICT round-2
+    # item 8) exercised single-host by forcing sharded=True under a
+    # (4, 2) mesh: save only addressable shards + index offsets,
+    # stitch the local block back, reassemble on the mesh
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mgpoisson.shard.mesh import build_mesh
+
+    mesh = build_mesh((4, 2))
+    size = 32
+    spec = Spec(size=size, dtype="float32", scheme="tuned",
+                backend="xla", mesh_shape=(4, 2), partition="spmd",
+                maxiter=3)
+    mg = MultigridPoisson(spec, mesh=mesh)
+    f = jax.device_put(mg.rhs(), NamedSharding(mesh, P("x", "y")))
+    psi, _ = mg.step(-f, f)
+
+    path = str(tmp_path / "ck_sharded")
+    save_state(path, psi, f=f, iteration=1, errs=[2.0], sharded=True)
+    import os
+    assert os.path.exists(path + ".proc0.npz")
+    assert not os.path.exists(path)          # no single-file fallback
+
+    # load WITHOUT a mesh: local numpy block (here: the whole grid,
+    # single process owns everything)
+    state_np = load_state(path)
+    np.testing.assert_array_equal(state_np["psi"], np.asarray(psi))
+    assert state_np["iteration"] == 1
+
+    # load WITH the mesh: global jax.Arrays with the solver's layout
+    state = load_state(path, mesh=mesh)
+    assert state["psi"].shape == (size, size)
+    np.testing.assert_array_equal(np.asarray(state["psi"]),
+                                  np.asarray(psi))
+    np.testing.assert_array_equal(np.asarray(state["f"]), np.asarray(f))
+
+    # resume_solve consumes the sharded checkpoint directly
+    res = resume_solve(mg, path)
+    assert np.isfinite(res.final_err)
