@@ -40,8 +40,10 @@ def get_ops(spec, level_size: int):
         # sharded operand would be all-gathered onto one device — worse
         # than the XLA ops it replaces.  Force the XLA formulations,
         # whose stencils partition cleanly (halo collectives inserted
-        # by XLA).  Per-shard Pallas inside shard_map is the future
-        # path (mgpoisson.shard.spmd currently uses XLA ops per shard).
+        # by XLA).  This fence applies to the GSPMD path only: the
+        # explicit partition (spec.partition='spmd') runs the fused
+        # strip kernels per shard inside shard_map — see
+        # mgpoisson.shard.spmd (it dispatches itself, not via get_ops).
         return xla
     if spec.ndim == 3:
         # 3D: the fused multi-sweep smoother is Pallas (the other ops

@@ -26,6 +26,18 @@ mesh, with the communication written out explicitly —
   tiny grids are collective-latency-bound, so stop communicating.
 - error reductions are local sums + psum.
 
+Per-shard fused Pallas kernels (2D): when a level's LOCAL block meets
+`kernels.pallas.sharded_plan` (f32/bf16, lane-aligned shape) and the
+backend allows Pallas, the down-leg runs `smooth_rr_sharded` and the
+up-leg `pc_smooth_sharded` — the fused single-chip strip kernels with
+the halo handed in as pre-exchanged ppermute strips (rows at the plan
+depth, 128-lane-aligned columns with corners carried).  This is what
+makes the single-chip kernel win apply to the scale-out config: the
+fine-level kernels ARE the hot path (`gpu.lua:286-346`), and without
+them each shard would run the ~7x-slower unfused XLA sweeps.
+Coarser sharded levels (blocks below the plan minimum) keep the jnp
+deep-halo path — the hybrid's cpuDepth idea applied a second time.
+
 Rank-polymorphic: 2D grids shard both axes; 3D grids shard axes 0 and 1
 over the same ('x','y') mesh with axis 2 kept local (contiguous lanes).
 Both schemes and all smoothers.
@@ -39,6 +51,24 @@ from jax.sharding import PartitionSpec as P
 
 from mgpoisson.cycle.vcycle import _cycle as _replicated_cycle
 from mgpoisson.kernels import xla
+
+
+def _pallas_enabled(spec) -> bool:
+    """Per-shard Pallas strip kernels: on for 2D under backend 'auto'
+    (TPU) or 'pallas' (forced — interpret-mode tests set the
+    MGPOISSON_PALLAS_INTERPRET env and force the backend on CPU)."""
+    if spec.ndim != 2 or spec.backend == "xla":
+        return False
+    if spec.smoother_resolved not in ("jacobi", "wjacobi", "rbgs"):
+        return False
+    if spec.nu_pre < 1 or spec.nu_post < 1:
+        return False
+    if spec.backend == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 # mesh axis name per sharded array axis; array axes >= 2 are local
 _AXIS_NAMES = ("x", "y")
@@ -325,6 +355,40 @@ def _build_parts(spec, mesh):
                 return False
         return True
 
+    # -------------- per-shard fused Pallas strip kernels (2D) ---------
+    # The fused single-chip half-level kernels, fed by ppermute strips:
+    # top/bottom at the plan's halo depth, left/right as 128-lane
+    # columns row-extended so the sequential per-axis exchange carries
+    # the corners (same scheme as deep_halos).  Non-wrapping permutes
+    # zero-fill past the global boundary, which the kernels' in-kernel
+    # bc fixup expects (flags mark which device edges are global).
+    pallas_on = _pallas_enabled(spec)
+    nu_plan = max(spec.nu_pre, spec.nu_post)
+
+    def level_plan(shape, dtype):
+        if not pallas_on:
+            return None
+        from mgpoisson.kernels import pallas as pk
+        return pk.sharded_plan(shape, nu_plan, smoother, dtype)
+
+    def strips(a, depth):
+        """(top, bot, left, right) ppermute halo strips for local 2D
+        block a: rows `depth` deep, columns 128 lanes wide (the strip
+        kernels' lane-aligned DMA granularity), corners carried."""
+        top = shift(_lines(a, 0, "hi", depth), "x", +1)
+        bot = shift(_lines(a, 0, "lo", depth), "x", -1)
+        ar = jnp.concatenate([top, a, bot], axis=0)
+        left = shift(ar[:, -128:], "y", +1)
+        right = shift(ar[:, :128], "y", -1)
+        return top, bot, left, right
+
+    def edge_flags():
+        ax = jax.lax.axis_index("x")
+        ay = jax.lax.axis_index("y")
+        return jnp.stack(
+            [ax == 0, ax == mesh_sizes["x"] - 1,
+             ay == 0, ay == mesh_sizes["y"] - 1]).astype(jnp.int32)
+
     def cycle(u, f, h, global_size, fine_level):
         bc = "ghost0" if fine_level else spec.coarse_bc
 
@@ -337,6 +401,26 @@ def _build_parts(spec, mesh):
             u_full = _replicated_cycle(u_full, f_full, h, spec, gamma,
                                        fine_level, None)
             return slice_local(u_full, u.shape)
+
+        plan = level_plan(u.shape, u.dtype)
+        if plan is not None:
+            from mgpoisson.kernels import pallas as pk
+            h8 = plan[0]
+            fl = edge_flags()
+            fstrips = strips(f, h8)       # f is level-invariant: once
+            ustrips = strips(u, h8)
+            u, R = pk.smooth_rr_sharded(
+                u, f, ustrips, fstrips, fl, h, spec.nu_pre, smoother,
+                bc, plan=plan)
+            V = jnp.zeros_like(R)
+            for _ in range(gamma):
+                V = cycle(V, R, 2 * h, global_size // 2, False)
+            vstrips = strips(V, 8)        # coarse exchange depth
+            ustrips = strips(u, h8)       # u changed: re-exchange
+            return pk.pc_smooth_sharded(
+                u, f, V, ustrips, fstrips, vstrips, fl, h,
+                spec.nu_post, smoother, bc, spec.prolong_kind,
+                plan=plan)
 
         # exchange the level-invariant RHS halo ONCE for both phases
         rmax = _RADIUS * max(spec.nu_pre, spec.nu_post)
@@ -353,13 +437,22 @@ def _build_parts(spec, mesh):
 
     def step_local(psi, f):
         """Returns (psi_new, rms_update, residual_norm) — the solver
-        picks the stopping metric."""
+        picks the stopping metric.  Only the metric spec.stop selects
+        is computed (spec.stop is static at build time); the other slot
+        is a zero scalar, so stop='update' never pays the extra
+        full-grid residual pass and stop='residual' never pays the
+        update reduction."""
         psi_new = cycle(psi, f, h0, spec.size, True)
-        d = psi_new - psi
-        sq = jax.lax.psum(jnp.sum(d * d), ("x", "y"))
-        err_upd = jnp.sqrt(sq / (spec.size ** ndim))
-        r = residual(psi_new, f, h0, "ghost0")
-        rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
+        zero = jnp.zeros((), psi.dtype)
+        if spec.stop == "update":
+            d = psi_new - psi
+            sq = jax.lax.psum(jnp.sum(d * d), ("x", "y"))
+            err_upd = jnp.sqrt(sq / (spec.size ** ndim))
+            rn = zero
+        else:
+            err_upd = zero
+            r = residual(psi_new, f, h0, "ghost0")
+            rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
         return psi_new, err_upd, rn
 
     def fmg_local(f):

@@ -162,3 +162,78 @@ def test_sharded_plan_geometry():
     assert pk.sharded_plan((32, 256), 3, "wjacobi", jnp.float32) is None
     assert pk.sharded_plan((256, 128), 3, "wjacobi", jnp.float32) is None
     assert pk.sharded_plan((256, 384), 3, "wjacobi", jnp.float32) is None
+
+
+# ------------------------------------------------- shard_map integration
+
+def _step_pair(spec1, specN):
+    from mgpoisson import MultigridPoisson
+    mg1 = MultigridPoisson(spec1)
+    mgN = MultigridPoisson(specN)
+    f = mg1.rhs()
+    psi = mg1.init_state(f)
+    psi1, err1 = mg1.step(psi, f)
+    psiN, errN = mgN.step(psi, f)
+    return psi1, err1, psiN, errN
+
+
+def test_spmd_pallas_step_matches_xla_and_single_device():
+    """spmd-with-Pallas == spmd-with-XLA == single-device (f32,
+    interpret mode, 2x2 mesh, kernels engaged on the fine level)."""
+    from mgpoisson import MultigridPoisson, Spec
+
+    spec1 = Spec(size=512, dtype="float32", backend="xla", scheme="tuned",
+                 stop="residual")
+    specX = spec1.with_(mesh_shape=(2, 2), partition="spmd")
+    specP = specX.with_(backend="pallas")
+
+    psi1, err1, psiX, errX = _step_pair(spec1, specX)
+    mgP = MultigridPoisson(specP)
+    f = MultigridPoisson(spec1).rhs()
+    psi0 = -f
+    psiP, errP = mgP.step(psi0, f)
+
+    scale = float(jnp.max(jnp.abs(psi1)))
+    np.testing.assert_allclose(np.asarray(psiP) / scale,
+                               np.asarray(psiX) / scale,
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(psiP) / scale,
+                               np.asarray(psi1) / scale,
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(errP), float(errX), rtol=1e-3)
+
+
+def test_spmd_pallas_rbgs_reference_scheme():
+    """Reference scheme + rbgs on a single-axis (2,1) mesh (the
+    degenerate-axis strips are the collective's zero fill)."""
+    from mgpoisson import MultigridPoisson, Spec
+
+    spec1 = Spec(size=256, dtype="float32", backend="xla",
+                 scheme="reference", smoother="rbgs", pre_smooth=2,
+                 post_smooth=2)
+    specX = spec1.with_(mesh_shape=(2, 1), partition="spmd")
+    specP = specX.with_(backend="pallas")
+    # plan must exist for the fine level's local block (128, 256)
+    plan = pk.sharded_plan((128, 256), 2, "rbgs", jnp.float32)
+    assert plan is not None
+
+    psi1, err1, psiP, errP = _step_pair(spec1, specP)
+    scale = float(jnp.max(jnp.abs(psi1)))
+    np.testing.assert_allclose(np.asarray(psiP) / scale,
+                               np.asarray(psi1) / scale,
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_spmd_pallas_gating():
+    """3D / f64 / gs_lex specs never take the per-shard Pallas path."""
+    from mgpoisson.shard.spmd import _pallas_enabled
+    from mgpoisson import Spec
+
+    assert not _pallas_enabled(Spec(size=64, ndim=3, backend="pallas",
+                                    mesh_shape=(2, 2), partition="spmd"))
+    assert not _pallas_enabled(Spec(size=64, backend="xla",
+                                    mesh_shape=(2, 2), partition="spmd"))
+    assert _pallas_enabled(Spec(size=64, backend="pallas",
+                                mesh_shape=(2, 2), partition="spmd"))
+    # f64 is fenced by sharded_plan's dtype gate, not _pallas_enabled
+    assert pk.sharded_plan((256, 256), 3, "wjacobi", jnp.float64) is None
