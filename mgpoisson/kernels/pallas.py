@@ -48,8 +48,27 @@ from mgpoisson.kernels import xla
 
 # ---------------------------------------------------------------- config
 
-_VMEM_BUDGET = 10 * 1024 * 1024   # conservative working-set budget
+# working-set budget for kernel planning (stripe/block sizing).  The
+# physical per-core VMEM is much larger (v5e: 128 MiB), but Mosaic
+# needs headroom for spills and the planner's estimate is approximate;
+# override for tuning with MGPOISSON_VMEM_BUDGET_MB.
+_VMEM_BUDGET = int(os.environ.get(
+    "MGPOISSON_VMEM_BUDGET_MB", "10")) * 1024 * 1024
 MIN_SIZE = 256                    # below this, XLA ops win (launch-bound)
+
+# Mosaic's scoped-VMEM limit defaults to 16 MiB; the physical v5e VMEM
+# is 128 MiB.  The planner's buffer estimate excludes the compiler's
+# stack temporaries (sweep intermediates), so the limit is set well
+# above the budget — a 2048^2 bf16 striped composite at the 10 MB
+# budget was measured at 16.7 MiB actual and rejected under the
+# default (caught by bench/parity.py on TPU).
+_VMEM_LIMIT = int(os.environ.get(
+    "MGPOISSON_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(has_side_effects=True,
+                                vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _interpret() -> bool:
@@ -337,7 +356,7 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f)
 
@@ -638,7 +657,7 @@ def _smooth_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f)
 
@@ -764,7 +783,7 @@ def _rr_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, pmat)
 
@@ -928,7 +947,7 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=out_specs,
         scratch_shapes=scratch + sems,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, V, emat)
 
@@ -1184,7 +1203,7 @@ def _smooth_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f)
 
@@ -1356,7 +1375,7 @@ def _rr_fused_3d(u, f, *, h: float, nu: int, smoother: str, bc: str,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, pmat)
 
@@ -1524,7 +1543,7 @@ def _pc_fused_3d(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=out_specs,
         scratch_shapes=scratch + sems,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, V, emat)
 
@@ -1638,16 +1657,29 @@ def _double_mat(n, dtype):
     return jnp.asarray(m, dtype)
 
 
+def _sel_dot(x, m):
+    """Selection matmul x @ m for the lane halve/double tricks.  Mosaic
+    compiled-mode constraints (caught by the on-TPU parity sweep,
+    bench/parity.py — interpret mode accepts anything): the accumulator
+    must be 32-bit, and an fp32-precision contract rejects bf16
+    operands ('Bad lhs type'), so bf16 runs the whole dot in f32 (the
+    MXU takes f32 via multiple passes; these matmuls are a small slice
+    of kernel time) and casts back."""
+    dtype = x.dtype
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        x, m = x.astype(jnp.float32), m.astype(jnp.float32)
+    out = jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())),
+                              precision=_HI,
+                              preferred_element_type=x.dtype)
+    return out.astype(dtype)
+
+
 def _lane_halve(x, pmat):
     """(r, n) -> (r, n/2), out[:, j] = x[:, 2j] + x[:, 2j+1]."""
     c = pmat.shape[0]
     n_ = x.shape[1]
-    parts = [
-        jax.lax.dot_general(x[:, k * c:(k + 1) * c], pmat,
-                            (((1,), (0,)), ((), ())), precision=_HI,
-                            preferred_element_type=x.dtype)
-        for k in range(n_ // c)
-    ]
+    parts = [_sel_dot(x[:, k * c:(k + 1) * c], pmat)
+             for k in range(n_ // c)]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
@@ -1655,12 +1687,8 @@ def _lane_double(x, emat):
     """(r, n/2) -> (r, n), out[:, 2j] = out[:, 2j+1] = x[:, j]."""
     ch = emat.shape[0]                      # C/2 input lanes per chunk
     n_ = x.shape[1]
-    parts = [
-        jax.lax.dot_general(x[:, k * ch:(k + 1) * ch], emat,
-                            (((1,), (0,)), ((), ())), precision=_HI,
-                            preferred_element_type=x.dtype)
-        for k in range(n_ // ch)
-    ]
+    parts = [_sel_dot(x[:, k * ch:(k + 1) * ch], emat)
+             for k in range(n_ // ch)]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
@@ -1848,7 +1876,7 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, pmat)
 
@@ -2010,7 +2038,7 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=out_specs,
         scratch_shapes=scratch + sems,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, V, emat)
 
@@ -2481,7 +2509,7 @@ def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in)
 
@@ -2612,7 +2640,7 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr, flags,
       emat_in)
