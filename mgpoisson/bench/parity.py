@@ -1,0 +1,230 @@
+"""On-device compiled-kernel parity sweep.
+
+The interpreter-mode differential tests (tests/test_pallas*.py) validate
+kernel SEMANTICS on CPU; this module validates the COMPILED Mosaic
+kernels on the hardware they actually run on — a miscompile in one
+clipping branch could pass interpret tests and silently degrade
+convergence.  It is the reference's cross-implementation diffing
+(`/root/reference/cpu-raw.lua:120`, debug-dump trace comparison) applied
+where the compiled kernels execute: every Pallas path (striped / whole /
+wide / 3D / sharded-strip, smoother + both composites, both bcs, all
+smoothers, f32 + bf16) against the XLA formulations, on device.
+
+Run via bench.py (kernel_parity_max_err in the artifact extras) or
+directly: python -m mgpoisson.bench.parity [--full].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _mkdata(shape, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.normal(size=shape), dtype)
+    f = jnp.asarray(rng.normal(size=shape), dtype)
+    return u, f
+
+
+def _err(got, ref):
+    got = np.asarray(got, np.float64)
+    ref = np.asarray(ref, np.float64)
+    scale = max(np.max(np.abs(ref)), 1e-30)
+    return float(np.max(np.abs(got - ref)) / scale)
+
+
+def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
+    """Returns {"max_err": float, "worst": str, "cases": {name: err}}.
+
+    Tolerances: f32 paths should agree with the XLA ops to ~1e-6
+    (same-precision arithmetic, different op order); bf16 cases are
+    compared against the XLA ops run in bf16 too, so they measure
+    kernel parity, not precision loss.
+    """
+    from mgpoisson.kernels import pallas as pk, xla
+
+    cases = {}
+    failures = {}
+
+    def add(name, got, ref):
+        """got/ref may be values or thunks; a compile/run failure is
+        recorded per case (Mosaic bugs must not kill the sweep — the
+        artifact should enumerate every broken path, not just the
+        first)."""
+        try:
+            if callable(got):
+                got = got()
+            if callable(ref):
+                ref = ref()
+            if isinstance(got, tuple):
+                for i, (g, r) in enumerate(zip(got, ref)):
+                    cases[f"{name}[{i}]"] = _err(g, r)
+            else:
+                cases[name] = _err(got, ref)
+        except Exception as e:  # pragma: no cover - device-dependent
+            failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    smoothers = [("wjacobi", 3), ("rbgs", 2)] + \
+        ([("jacobi", 7)] if full else [])
+    bcs = ("ghost0", "face") if full else ("ghost0",)
+    dtypes = [jnp.float32, jnp.bfloat16]
+
+    for n in sizes:
+        h = 1.0 / n
+        for dtype in dtypes:
+            dt = {"float32": "f32", "bfloat16": "bf16"}[jnp.dtype(dtype).name]
+            for sm, nu in smoothers:
+                if not pk._supported(jax.ShapeDtypeStruct((n, n), dtype),
+                                     nu):
+                    continue
+                u, f = _mkdata((n, n), dtype)
+                V = _mkdata((n // 2, n // 2), dtype, seed=3)[0]
+                for bc in bcs:
+                    tag = f"{n}_{dt}_{sm}_{bc}"
+                    add(f"smooth_{tag}",
+                        lambda u=u, f=f, nu=nu, sm=sm, bc=bc:
+                            pk.smooth(u, f, h, nu, sm, bc),
+                        lambda u=u, f=f, nu=nu, sm=sm, bc=bc:
+                            xla.smooth(u, f, h, nu, sm, bc))
+                    add(f"rr_{tag}",
+                        lambda u=u, f=f, nu=nu, sm=sm, bc=bc:
+                            pk.smooth_residual_restrict(u, f, h, nu, sm,
+                                                        bc),
+                        lambda u=u, f=f, nu=nu, sm=sm, bc=bc:
+                            xla.smooth_residual_restrict(u, f, h, nu, sm,
+                                                         bc))
+                    kind = "bilinear" if bc == "face" else "inject"
+                    add(f"pc_{tag}",
+                        lambda u=u, f=f, V=V, nu=nu, sm=sm, bc=bc,
+                        kind=kind:
+                            pk.prolong_correct_smooth(
+                                u, f, V, h, nu, sm, bc, kind),
+                        lambda u=u, f=f, V=V, nu=nu, sm=sm, bc=bc,
+                        kind=kind:
+                            xla.prolong_correct_smooth(
+                                u, f, V, h, nu, sm, bc, kind))
+
+                # rnorm-fused up-leg (free residual stopping)
+                def _pcr_ref(u=u, f=f, V=V, nu=nu, sm=sm):
+                    r_u2 = xla.prolong_correct_smooth(
+                        u, f, V, h, nu, sm, "ghost0", "inject")
+                    r_r2 = jnp.sum(
+                        xla.residual(r_u2, f, h, "ghost0") ** 2)
+                    return r_u2, jnp.asarray([r_r2])
+
+                add(f"pcr_{n}_{dt}_{sm}",
+                    lambda u=u, f=f, V=V, nu=nu, sm=sm: (
+                        lambda gu_gr2: (gu_gr2[0],
+                                        jnp.asarray([gu_gr2[1]])))(
+                        pk.prolong_correct_smooth_rnorm(
+                            u, f, V, h, nu, sm, "ghost0", "inject")),
+                    _pcr_ref)
+
+            # per-shard strip kernels, compiled, (1,1)-mesh layout:
+            # zero strips + all-edges flags must equal the unsharded ops
+            sm, nu = ("wjacobi", 3)
+            u, f = _mkdata((n, n), dtype, seed=5)
+            plan = pk.sharded_plan((n, n), nu, sm, dtype)
+            if plan is not None:
+                h8 = plan[0]
+                zrow = jnp.zeros((h8, n), dtype)
+                zcol = jnp.zeros((n + 2 * h8, 128), dtype)
+                strips = (zrow, zrow, zcol, zcol)
+                flags = jnp.ones((4,), jnp.int32)
+                add(f"shard_rr_{n}_{dt}",
+                    lambda u=u, f=f, strips=strips, flags=flags, nu=nu,
+                    sm=sm, plan=plan:
+                        pk.smooth_rr_sharded(u, f, strips, strips,
+                                             flags, h, nu, sm, "ghost0",
+                                             plan=plan),
+                    lambda u=u, f=f, nu=nu, sm=sm:
+                        xla.smooth_residual_restrict(u, f, h, nu, sm,
+                                                     "ghost0"))
+
+    # wide (two-axis-blocked) kernels with forced geometry — the
+    # n >= 8192 code path exercised at a testable size
+    n = 1024
+    h = 1.0 / n
+    for dtype in dtypes:
+        dt = {"float32": "f32", "bfloat16": "bf16"}[jnp.dtype(dtype).name]
+        u, f = _mkdata((n, n), dtype, seed=7)
+        V = _mkdata((n // 2, n // 2), dtype, seed=8)[0]
+        add(f"wide_smooth_{dt}",
+            lambda u=u, f=f:
+                pk._smooth_fused_wide(u, f, h=h, nu=3,
+                                      smoother="wjacobi", bc="ghost0",
+                                      interpret=False, hr=8, bm=256,
+                                      bcw=256),
+            lambda u=u, f=f: xla.smooth(u, f, h, 3, "wjacobi", "ghost0"))
+        add(f"wide_rr_{dt}",
+            lambda u=u, f=f:
+                pk._rr_fused_wide(u, f, h=h, nu=3, smoother="wjacobi",
+                                  bc="ghost0", interpret=False, hr=8,
+                                  bm=256, bcw=256),
+            lambda u=u, f=f:
+                xla.smooth_residual_restrict(u, f, h, 3, "wjacobi",
+                                             "ghost0"))
+        add(f"wide_pc_{dt}",
+            lambda u=u, f=f, V=V:
+                pk._pc_fused_wide(u, f, V, h=h, nu=3, smoother="wjacobi",
+                                  bc="face", kind="bilinear",
+                                  interpret=False, hr=8, bm=256, bcw=256),
+            lambda u=u, f=f, V=V:
+                xla.prolong_correct_smooth(u, f, V, h, 3, "wjacobi",
+                                           "face", "bilinear"))
+
+    # 3D fused kernels (the _supported3 gate needs >= 32 MB grids)
+    n3 = 256
+    h3 = 1.0 / n3
+    u3, f3 = _mkdata((n3, n3, n3), jnp.float32, seed=9)
+    if pk._supported3(u3):
+        add("smooth3d_f32",
+            lambda: pk.smooth(u3, f3, h3, 3, "wjacobi", "ghost0"),
+            lambda: xla.smooth(u3, f3, h3, 3, "wjacobi", "ghost0"))
+        add("rr3d_f32",
+            lambda: pk.smooth_residual_restrict(u3, f3, h3, 3, "wjacobi",
+                                                "ghost0"),
+            lambda: xla.smooth_residual_restrict(u3, f3, h3, 3,
+                                                 "wjacobi", "ghost0"))
+        V3 = _mkdata((n3 // 2,) * 3, jnp.float32, seed=10)[0]
+        add("pc3d_f32",
+            lambda: pk.prolong_correct_smooth(u3, f3, V3, h3, 3,
+                                              "wjacobi", "ghost0",
+                                              "inject"),
+            lambda: xla.prolong_correct_smooth(u3, f3, V3, h3, 3,
+                                               "wjacobi", "ghost0",
+                                               "inject"))
+
+    worst = max(cases, key=cases.get) if cases else None
+    # split the gate by dtype: f32 cases must match the XLA ops to
+    # ~1e-5 (same precision, different op order); bf16 cases compound
+    # per-sweep rounding differences over nu applications, so a few
+    # percent is their expected same-precision reorder noise
+    f32 = {k: v for k, v in cases.items() if "bf16" not in k}
+    bf16 = {k: v for k, v in cases.items() if "bf16" in k}
+    return {"max_err": max(cases.values()) if cases else None,
+            "max_err_f32": max(f32.values()) if f32 else None,
+            "worst_f32": max(f32, key=f32.get) if f32 else None,
+            "max_err_bf16": max(bf16.values()) if bf16 else None,
+            "worst": worst, "n_cases": len(cases), "cases": cases,
+            "failures": failures, "n_failures": len(failures)}
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    full = "--full" in sys.argv
+    out = run_parity(full=full)
+    top = dict(sorted(out["cases"].items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({"max_err": out["max_err"],
+                      "max_err_f32": out["max_err_f32"],
+                      "worst_f32": out["worst_f32"],
+                      "max_err_bf16": out["max_err_bf16"],
+                      "worst": out["worst"],
+                      "n_cases": out["n_cases"], "top10": top,
+                      "failures": out["failures"]}, indent=2))
+    sys.exit(1 if out["failures"] else 0)
