@@ -68,6 +68,36 @@ def render(bench: dict, src_name: str) -> str:
          f"{ex['rr_fused_time_ms']:.2f} + {ex['pc_fused_time_ms']:.2f} ms "
          "(one HBM round trip each)", "—"),
     ]
+    if ex.get("residual_stop_overhead_pct") is not None:
+        rows.append((
+            "stop=\"residual\" metric overhead per cycle",
+            f"{ex['residual_stop_overhead_pct']:.1f} % "
+            "(‖r‖² fused into the up-leg kernel's drain)", "< 3 %"))
+    if ex.get("bf16_smoother_phys_gbps") is not None:
+        rows.append((
+            "bfloat16 smoother sweep",
+            f"{ex['bf16_smoother_phys_gbps']:.0f} GB/s physical = "
+            f"{ex['bf16_speedup_vs_f32']:.2f}× the f32 sweep "
+            "(half the bytes per cell)", "—"))
+    if ex.get("bf16_solve_floor_relres") is not None:
+        rows.append((
+            "bfloat16 end-to-end solve floor",
+            f"relative residual ≈ {ex['bf16_solve_floor_relres']:.0e} "
+            f"after {ex.get('bf16_solve_cycles', '—')} cycles "
+            "(pure-bf16 storage; see the precision notes)", "—"))
+    if ex.get("spmd_vs_unsharded_vcycle") is not None:
+        rows.append((
+            "shard_map step on a (1,1) mesh vs unsharded V-cycle",
+            f"{ex['spmd_vs_unsharded_vcycle']:.2f}× "
+            "(per-shard fused Pallas strip kernels)", "≤ ~1.1×"))
+    if ex.get("kernel_parity_max_err") is not None:
+        rows.append((
+            "Compiled-kernel parity vs XLA ops (on device)",
+            f"max |diff| {ex['kernel_parity_max_err']:.1e} over "
+            f"{ex.get('kernel_parity_n_cases', '—')} f32+bf16 cases "
+            f"(bf16 reorder noise "
+            f"{ex.get('kernel_parity_max_err_bf16', 0):.0e})",
+            "f32 ≤ 1e-5"))
     if cfg5.get("vcycle_time_ms") is not None:
         rows.append((
             "16384² (config-5 grid) on ONE chip",
