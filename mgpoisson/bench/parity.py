@@ -215,7 +215,16 @@ def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
 
 if __name__ == "__main__":
     import json
+    import os
     import sys
+
+    # standalone runs reuse bench.py's persistent compile cache (the
+    # remote Mosaic relay makes cold compiles ~30-60 s each)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     full = "--full" in sys.argv
     out = run_parity(full=full)

@@ -57,13 +57,18 @@ _VMEM_BUDGET = int(os.environ.get(
 MIN_SIZE = 256                    # below this, XLA ops win (launch-bound)
 
 # Mosaic's scoped-VMEM limit defaults to 16 MiB; the physical v5e VMEM
-# is 128 MiB.  The planner's buffer estimate excludes the compiler's
-# stack temporaries (sweep intermediates), so the limit is set well
-# above the budget — a 2048^2 bf16 striped composite at the 10 MB
-# budget was measured at 16.7 MiB actual and rejected under the
-# default (caught by bench/parity.py on TPU).
+# is 128 MiB.  A 2048^2 bf16 striped composite at the 10 MB budget was
+# measured at 16.7 MiB actual (the compiler's stack temporaries are not
+# in the planner's estimate) and rejected under the 16 MiB default, so
+# the limit must sit slightly above it.  But NOT far above: the limit
+# value feeds Mosaic's allocation decisions, and large values degrade
+# the generated code — at 100 MB the 4096^2 f32 sweep measured ~400
+# GB/s vs ~715 at 16-20 MB (A/B on v5e, 2026-08-18).  The default is
+# max(20 MB, 2x budget) so a budget override alone never trips the
+# rejection; override with MGPOISSON_VMEM_LIMIT_MB.
 _VMEM_LIMIT = int(os.environ.get(
-    "MGPOISSON_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+    "MGPOISSON_VMEM_LIMIT_MB",
+    str(max(20, 2 * (_VMEM_BUDGET >> 20))))) * 1024 * 1024
 
 
 def _compiler_params():
