@@ -1237,6 +1237,10 @@ def _trilinear_blend_3d(R, pos, flags):
     and halos even), so local parity == global parity.
     """
     dtype = R.dtype
+    if dtype.itemsize < 4:
+        # same Mosaic sub-f32 crash as _bilinear_blend_2d: blend in f32
+        return _trilinear_blend_3d(
+            R.astype(jnp.float32), pos, flags).astype(dtype)
     for ax in range(3):
         sl = lambda a, b: tuple(
             slice(None) if i != ax else slice(a, b) for i in range(3))
@@ -1715,6 +1719,15 @@ def _bilinear_blend_2d(R, top_row, bot_row, is_first, is_last, n_lanes,
     interior / (0.5, 0) at the global edges.
     """
     dtype = R.dtype
+    if dtype.itemsize < 4:
+        # Mosaic's compiler helper crashes (subprocess exit 1) on this
+        # blend in sub-f32 packed layouts (the +-2 sublane parity
+        # shifts; observed on v5e libtpu 2026-08-18, bf16).  Blend in
+        # f32 in VMEM and round once on the way out — no extra HBM
+        # traffic, and one rounding is numerically better anyway.
+        return _bilinear_blend_2d(
+            R.astype(jnp.float32), top_row, bot_row, is_first, is_last,
+            n_lanes, left_col, right_col, cf, cl).astype(dtype)
     if right_col is None:
         right_col = n_lanes - 1
     zr2 = jnp.zeros_like(R[:2, :])
