@@ -67,6 +67,7 @@ from mgpoisson.bench.timing import chain_time, sync as _sync
 def main():
     from mgpoisson import MultigridPoisson, Spec
     from mgpoisson.kernels import get_ops
+    from mgpoisson.kernels import xla as xla_ops
     from mgpoisson.cycle.vcycle import v_cycle
 
     platform = jax.default_backend()
@@ -150,12 +151,15 @@ def main():
                  psi_bf, consts=(f_bf,))
     bf16_phys_gbps = (3 * n_cells * 2) / 1e9 / t_s1_bf
 
-    # --- bf16 end-to-end solve floor: the achievable tolerance of a
-    # pure-bf16 solve (sweeps, transfers, and corrections all bf16; the
-    # residual-norm ACCUMULATOR is f32 inside the rnorm kernels).  The
-    # floor is reported as the final relative residual, measured
-    # independently in f32 — this is the number the README's mixed-
-    # precision paragraph documents
+    # --- bf16 end-to-end story, two numbers:
+    # (a) pure-bf16 solve floor: the final f32-measured relative
+    #     residual of an all-bf16 solve — documents that bf16 residuals
+    #     stall/diverge (cancellation below ~3 decimal digits), which
+    #     is WHY refinement exists;
+    # (b) mixed refinement (Spec.sweep_dtype='bfloat16'): bf16 V-cycles
+    #     on the error equation inside an f32 outer loop — f32-level
+    #     accuracy, bandwidth-priced sweeps.  Reported: cycles to the
+    #     f32 target and the per-refinement-step time vs the f32 cycle.
     bf16_floor = {}
     try:
         spec_bf = spec.with_(dtype="bfloat16", tol=1e-30, maxiter=12)
@@ -173,6 +177,23 @@ def main():
     except Exception as e:  # pragma: no cover
         bf16_floor = {"bf16_floor_error":
                       f"{type(e).__name__}: {str(e)[:120]}"}
+    try:
+        spec_mx = spec.with_(sweep_dtype="bfloat16")
+        mg_mx = MultigridPoisson(spec_mx)
+        res_mx = mg_mx.solve(f)
+        _sync(res_mx.psi)
+        rel_mx = float(xla_ops.residual_norm(res_mx.psi, f, h)
+                       / xla_ops.residual_norm(mg_mx.init_state(f), f, h))
+        t_mx = kt(lambda u, ff: mg_mx._step_fn(
+            u, ff, jnp.asarray(1.0, jnp.float32))[0], psi, consts=(f,))
+        bf16_floor.update({
+            "mixed_bf16_cycles_to_tol": res_mx.iterations,
+            "mixed_bf16_converged": bool(res_mx.converged),
+            "mixed_bf16_final_relres": float(f"{rel_mx:.3e}"),
+            "mixed_bf16_step_time_ms": round(t_mx * 1e3, 4)})
+    except Exception as e:  # pragma: no cover
+        bf16_floor["mixed_bf16_error"] = (
+            f"{type(e).__name__}: {str(e)[:120]}")
 
     # --- explicit shard_map partition on a (1,1) mesh: the per-shard
     # fused strip kernels must keep the single-chip win under sharding

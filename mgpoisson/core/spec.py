@@ -38,6 +38,19 @@ class Spec:
         fp64 devices and falls back to fp32 (`gpu.lua:7-15,32`); on TPU
         f32 is the native fast path and f64 is emulated, so f32 is the
         default with f64 available for oracle-parity runs.
+      sweep_dtype: optional narrower dtype for the V-cycle itself
+        (mixed-precision iterative refinement).  When set and different
+        from dtype, each solver step computes the true residual
+        r = f - A psi in `dtype`, runs one full V-cycle on the error
+        equation A e = r entirely in `sweep_dtype` (bf16 halves the
+        HBM bytes per sweep — the sweeps are bandwidth-bound), and
+        applies the correction in `dtype`.  Residuals and stopping
+        metrics never leave `dtype`, so the refinement loop converges
+        to `dtype` accuracy even though nearly all the work runs in
+        bf16 — a pure-bf16 solve, by contrast, stalls immediately: the
+        fine-level residual of a smoothed iterate is all cancellation
+        below bf16's ~3 decimal digits.  Not yet wired into the
+        explicit partition='spmd' path.
       scheme:
         'reference' — exact parity with the reference algorithm:
           zero-ghost Dirichlet at every level, constant-injection
@@ -97,6 +110,7 @@ class Spec:
     size: int
     ndim: int = 2
     dtype: str = "float32"
+    sweep_dtype: Optional[str] = None
     scheme: str = "tuned"
     smoother: str = "auto"
     pre_smooth: Optional[int] = None
@@ -148,6 +162,8 @@ class Spec:
             raise ValueError(f"bad coarse_size {self.coarse_size}")
         if self.dtype not in ("float32", "float64", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.sweep_dtype not in (None, "float32", "float64", "bfloat16"):
+            raise ValueError(f"unsupported sweep_dtype {self.sweep_dtype!r}")
 
     # ------------------------------------------------- resolved parameters
 

@@ -72,14 +72,60 @@ class MultigridPoisson:
             constrain = make_constrain(self.mesh, spec)
         h = spec.fine_h
 
+        sweep_dt = (None if spec.sweep_dtype is None
+                    else jnp.dtype(spec.sweep_dtype))
+        if sweep_dt == self._dtype:
+            sweep_dt = None
         if self.mesh is not None and spec.partition == "spmd":
             # explicit shard_map + ppermute path (mgpoisson.shard.spmd)
+            if sweep_dt is not None:
+                raise ValueError("sweep_dtype refinement is not wired "
+                                 "into partition='spmd' yet; use the "
+                                 "gspmd partition")
             from mgpoisson.shard.spmd import build_spmd_step
             spmd_step = build_spmd_step(spec, self.mesh)
 
             def step(psi, f, r0):
                 psi_new, err_upd, rn = spmd_step(psi, f)
                 err = err_upd if spec.stop == "update" else rn / r0
+                return psi_new, err
+        elif sweep_dt is not None:
+            # mixed-precision iterative refinement: the V-cycle runs
+            # entirely in sweep_dtype on the error equation A e = r,
+            # while the residual, correction, and stopping metric stay
+            # in dtype.  bf16 sweeps halve the HBM bytes (they are
+            # bandwidth-bound) and the outer loop restores full dtype
+            # accuracy — the TPU-native role for bf16 here (a pure-bf16
+            # solve stalls: r = f - A psi is all cancellation below
+            # bf16 precision once psi is a few digits converged).
+            inner_cycle = make_cycle(spec.with_(dtype=spec.sweep_dtype),
+                                     constrain=constrain, rnorm=False)
+            acc = (jnp.float32 if self._dtype == jnp.dtype("bfloat16")
+                   else self._dtype)
+
+            def step(psi, f, r0):
+                """One refinement step.  With stop='residual' the
+                reported err is ||r|| of the INCOMING iterate (the
+                residual is in hand before the correction; recomputing
+                it after would cost a second full-grid pass), so the
+                stop fires one cycle late and the returned iterate is
+                one correction better than tol."""
+                if constrain is not None:
+                    psi, f = constrain(psi), constrain(f)
+                r = xla_ops.residual(psi, f, h, "ghost0")
+                # e0 = 0, NOT the reference's psi0=-f convention: for
+                # the error equation one V-cycle from zero contracts
+                # ||e_true|| by the MG factor, while -r starts ~4/h^2
+                # too large and the outer loop would amplify it
+                e = inner_cycle(jnp.zeros_like(r, sweep_dt),
+                                r.astype(sweep_dt), h)
+                psi_new = psi + e.astype(psi.dtype)
+                if spec.stop == "residual":
+                    ra = r.astype(acc)
+                    rn = jnp.sqrt(jnp.sum(ra * ra))
+                    err = rn.astype(r0.dtype) / r0
+                else:
+                    err = xla_ops.rms_update(psi_new, psi)
                 return psi_new, err
         else:
             want_rnorm = spec.stop == "residual"

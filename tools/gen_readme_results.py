@@ -85,6 +85,15 @@ def render(bench: dict, src_name: str) -> str:
             f"relative residual ≈ {ex['bf16_solve_floor_relres']:.0e} "
             f"after {ex.get('bf16_solve_cycles', '—')} cycles "
             "(pure-bf16 storage; see the precision notes)", "—"))
+    if ex.get("mixed_bf16_cycles_to_tol") is not None:
+        rows.append((
+            "mixed precision (bf16 sweeps + f32 refinement)",
+            f"f32-target convergence in "
+            f"{ex['mixed_bf16_cycles_to_tol']} cycles at "
+            f"{ex.get('mixed_bf16_step_time_ms', float('nan')):.2f} "
+            "ms/step (final relres "
+            f"{ex.get('mixed_bf16_final_relres', float('nan')):.0e}"
+            "; Spec.sweep_dtype)", "—"))
     if ex.get("spmd_vs_unsharded_vcycle") is not None:
         rows.append((
             "shard_map step on a (1,1) mesh vs unsharded V-cycle",
