@@ -269,6 +269,29 @@ def main():
     _sync(res_rb.psi)
     cycles_rbgs = res_rb.iterations if res_rb.converged else -1
 
+    # --- scheme='fast' (rbgs 1+1): the minimum-total-compute solve of
+    # the tools/tune_scheme.py sweep — same 2-cycle convergence at
+    # ~0.7x the rbgs-3+3 cycle cost (2.4 ms total vs tuned's 12.6 at
+    # 4096^2 on v5e)
+    fast_extra = {}
+    try:
+        spec_fast = Spec(size=size, dtype="float32", scheme="fast",
+                         backend="auto", stop="residual", tol=1e-10)
+        mg_fast = MultigridPoisson(spec_fast)
+        res_fast = mg_fast.solve(f)
+        _sync(res_fast.psi)
+        t_fc = kt(lambda u, ff: v_cycle(u, ff, h, spec_fast), psi,
+                  consts=(f,))
+        fast_extra = {
+            "fast_scheme_cycles_to_1e-10": (res_fast.iterations
+                                            if res_fast.converged else -1),
+            "fast_scheme_vcycle_ms": round(t_fc * 1e3, 4),
+            "fast_scheme_solve_compute_ms": round(
+                res_fast.iterations * t_fc * 1e3, 3)}
+    except Exception as e:  # pragma: no cover
+        fast_extra = {"fast_scheme_error":
+                      f"{type(e).__name__}: {str(e)[:120]}"}
+
     # --- FMG-initialized solve: full multigrid reaches discretization
     # accuracy in one O(N) pass, then V-cycles polish (1 cycle to the
     # 1e-10 gate at 4096^2)
@@ -311,6 +334,19 @@ def main():
             cfg5 = {"vcycle_time_ms": round(t5 * 1e3, 4),
                     "cycles": res5.iterations if res5.converged else -1,
                     "solve_wall_s": round(w5, 4)}
+            # scheme='fast' at config-5 scale: 2 rbgs-1+1 cycles
+            spec5f = spec5.with_(scheme="fast")
+            mg5f = MultigridPoisson(spec5f)
+            res5f = mg5f.solve(f5)
+            _sync(res5f.psi)
+            t5f = chain_time(lambda u, ff: v_cycle(
+                u, ff, spec5f.fine_h, spec5f), psi5,
+                k1=4, k2=24, tries=3, consts=(f5,))
+            cfg5["fast_cycles"] = (res5f.iterations
+                                   if res5f.converged else -1)
+            cfg5["fast_vcycle_time_ms"] = round(t5f * 1e3, 4)
+            cfg5["fast_solve_compute_ms"] = round(
+                res5f.iterations * t5f * 1e3, 2)
         except Exception as e:  # pragma: no cover - relay-dependent
             cfg5["error"] = f"{type(e).__name__}: {str(e)[:120]}"
 
@@ -350,6 +386,7 @@ def main():
             "bf16_smoother_phys_gbps": round(bf16_phys_gbps, 2),
             "bf16_speedup_vs_f32": round(t_s1 / t_s1_bf, 3),
             **bf16_floor,
+            **fast_extra,
             **spmd_extra,
             **parity_extra,
             "vcycle3d_time_ms": round(t_vcycle3 * 1e3, 4),

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 SCHEMES = {
     "reference": ("ghost0", "inject", "jacobi", 7),
     "tuned": ("face", "bilinear", "wjacobi", 3),
+    "fast": ("face", "bilinear", "rbgs", 1),
 }
 
 
@@ -65,6 +66,17 @@ class Spec:
           damped Jacobi 3+3: level-independent V-cycle factor ~0.10
           (2D), <10 cycles to 1e-10 relative residual (the BASELINE.json
           north star).
+        'fast' — same transfer operators as 'tuned' but red-black
+          Gauss-Seidel 1+1: each sweep costs ~2 stencil passes yet the
+          cycle COUNT collapses on spike-dominated starts at scale (the
+          reference's point-charge problem converges to 1e-10 relative
+          residual in 2 cycles at 4096^2 vs 9 for 'tuned' — 5x less
+          total compute, measured on v5e; see tools/tune_scheme.py).
+          The collapse is a large-grid effect: r0 ~ ||f||*4/h^2, so
+          the relative gate loosens as h shrinks (at 64^2 'fast' needs
+          ~9 cycles).  Prefer 'tuned' for smooth broad-spectrum
+          right-hand sides, where the wjacobi 3+3 rate is the proven
+          level-independent one.
       smoother: 'auto' (scheme default) | 'jacobi' (undamped, the
         reference default, `cpu.lua:57`) | 'wjacobi' (damped Jacobi,
         omega = 2d/(2d+1) — the tuned default: the cheapest sweep on the

@@ -69,6 +69,21 @@ def test_wcycle_solver_mode():
     assert res.iterations < 15
 
 
+def test_fast_scheme_converges():
+    # scheme='fast' (rbgs 1+1).  The 2-cycle collapse is a large-size
+    # effect (r0 ~ ||f||*4/h^2, so the relative gate loosens as h
+    # shrinks: 2 cycles at 4096^2 on TPU, ~9 at this toy size); here we
+    # pin convergence and that the cheaper cycle never needs more than
+    # a few extra cycles over tuned
+    spec = Spec(size=64, dtype="float64", backend="xla", scheme="fast",
+                stop="residual", tol=1e-10)
+    res = MultigridPoisson(spec).solve()
+    assert res.converged
+    it_tuned = MultigridPoisson(
+        spec.with_(scheme="tuned")).solve().iterations
+    assert res.iterations <= it_tuned + 3
+
+
 @pytest.mark.parametrize("scheme", ["reference", "tuned"])
 def test_3d_stage_trace_matches_oracle(scheme):
     from mgpoisson.cycle.vcycle import v_cycle

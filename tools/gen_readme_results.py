@@ -94,6 +94,13 @@ def render(bench: dict, src_name: str) -> str:
             "ms/step (final relres "
             f"{ex.get('mixed_bf16_final_relres', float('nan')):.0e}"
             "; Spec.sweep_dtype)", "—"))
+    if ex.get("fast_scheme_cycles_to_1e-10") is not None:
+        rows.append((
+            "scheme=\"fast\" (rbgs 1+1) solve to 1e-10",
+            f"{ex['fast_scheme_cycles_to_1e-10']} cycles × "
+            f"{ex.get('fast_scheme_vcycle_ms', float('nan')):.2f} ms = "
+            f"**{ex.get('fast_scheme_solve_compute_ms', float('nan')):.1f}"
+            " ms** total compute (5× less than tuned)", "—"))
     if ex.get("spmd_vs_unsharded_vcycle") is not None:
         rows.append((
             "shard_map step on a (1,1) mesh vs unsharded V-cycle",
@@ -114,6 +121,13 @@ def render(bench: dict, src_name: str) -> str:
             f"{cfg5['vcycle_time_ms']:.1f} ms/cycle, "
             f"**{cfg5['solve_wall_s']:.2f} s** warm solve "
             "(two-axis-blocked kernels)", "—"))
+    if cfg5.get("fast_cycles") is not None:
+        rows.append((
+            "16384² with scheme=\"fast\"",
+            f"{cfg5['fast_cycles']} cycles × "
+            f"{cfg5.get('fast_vcycle_time_ms', float('nan')):.1f} ms = "
+            f"**{cfg5.get('fast_solve_compute_ms', float('nan')):.0f} "
+            "ms** total compute", "—"))
     lines = [
         f"## Results (TPU v5e, 1 chip, {ex['size']}² f32)",
         "",
