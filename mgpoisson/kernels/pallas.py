@@ -51,9 +51,14 @@ from mgpoisson.kernels import xla
 # working-set budget for kernel planning (stripe/block sizing).  The
 # physical per-core VMEM is much larger (v5e: 128 MiB), but Mosaic
 # needs headroom for spills and the planner's estimate is approximate;
-# override for tuning with MGPOISSON_VMEM_BUDGET_MB.
+# override for tuning with MGPOISSON_VMEM_BUDGET_MB.  16 MB won the
+# tools/tune_kernels.py sweep on v5e (2026-08-18): vs 10 MB it widens
+# the 4096^2 stripes 64->128 rows (V-cycle 1.385 -> 1.352 ms) and the
+# 16384^2 wide blocks to (256, 2048) (24.65 -> 23.63 ms); 24-32 MB
+# gain nothing more and 32 MB trips a Mosaic compile crash on the
+# whole-VMEM mid-level kernels.
 _VMEM_BUDGET = int(os.environ.get(
-    "MGPOISSON_VMEM_BUDGET_MB", "10")) * 1024 * 1024
+    "MGPOISSON_VMEM_BUDGET_MB", "16")) * 1024 * 1024
 MIN_SIZE = 256                    # below this, XLA ops win (launch-bound)
 
 # Mosaic's scoped-VMEM limit defaults to 16 MiB; the physical v5e VMEM
@@ -89,12 +94,32 @@ def _supported(u, nu=1) -> bool:
     return n >= MIN_SIZE and n % 128 == 0
 
 
-def _pick_bm(n: int, halo: int, itemsize: int, n_bufs: int = 5) -> int:
+# Mosaic bf16 stability clamps (crashes observed on v5e, 2026-08-18,
+# all tpu_compile_helper-subprocess-exit-1 internal errors): whole-VMEM
+# kernels crash at 1024^2 bf16 (512^2 compiles fine), and striped rbgs
+# crashes at bm=512 bf16 (bm=256 fine).  Clamp the geometry instead of
+# chasing the compiler — bf16 kernels are byte-bound, so stripe size
+# barely moves them.  bench/parity.py covers both shapes on device.
+_BF16_WHOLE_MAX_N = 512
+_BF16_RBGS_MAX_BM = 256
+
+
+def _bf16_whole_ok(n: int, itemsize: int) -> bool:
+    return itemsize >= 4 or n <= _BF16_WHOLE_MAX_N
+
+
+def _pick_bm(n: int, halo: int, itemsize: int, n_bufs: int = 5,
+             smoother: str = "", max_bm: int = 0) -> int:
     """Largest power-of-two stripe height (rows) such that n_bufs
     working buffers of (BM + 2*halo, n) fit the VMEM budget."""
     bm = n
+    cap = (_BF16_RBGS_MAX_BM
+           if itemsize < 4 and smoother == "rbgs" else n)
+    if max_bm:
+        cap = min(cap, max_bm)
     while bm > 8:
-        if n_bufs * (bm + 2 * halo) * n * itemsize <= _VMEM_BUDGET \
+        if bm <= cap \
+                and n_bufs * (bm + 2 * halo) * n * itemsize <= _VMEM_BUDGET \
                 and n % bm == 0:
             return bm
         bm //= 2
@@ -254,7 +279,7 @@ def _sweeps(uv, fv, nu, smoother, bc, hsq, adiag, halo, bm,
 # fused multi-sweep smoother
 # =====================================================================
 
-def _smooth_plan(n, nu, smoother, itemsize):
+def _smooth_plan(n, nu, smoother, itemsize, max_bm=0):
     """Stripe geometry: (halo, bm).  The dependency radius per sweep is
     1 (Jacobi variants) or 2 (red-black GS); halo rounds up to the
     sublane tile so DMA offsets stay 8-aligned.  Computed OUTSIDE the
@@ -262,7 +287,8 @@ def _smooth_plan(n, nu, smoother, itemsize):
     part of the jit cache key."""
     radius = 2 if smoother == "rbgs" else 1
     halo = -(-(radius * nu) // 8) * 8
-    return halo, _pick_bm(n, halo, itemsize)
+    return halo, _pick_bm(n, halo, itemsize, smoother=smoother,
+                          max_bm=max_bm)
 
 
 @functools.partial(
@@ -1607,12 +1633,18 @@ def smooth(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     while left > 0:
         k = min(left, max_nu)
         halo, bm = _smooth_plan(n, k, smoother, itemsize)
+        if (n // bm < 2 and itemsize < 4
+                and not _bf16_whole_ok(n, itemsize)):
+            # bf16 whole-VMEM is clamped (Mosaic crash at 1024^2):
+            # force a sub-whole stripe instead
+            halo, bm = _smooth_plan(n, k, smoother, itemsize, max_bm=n // 2)
         if n // bm < 2 or bm <= 2 * halo:
             # striping degenerates: either the whole array fits VMEM
             # (small levels) or the rows are too wide for any single-
             # axis stripe budget (n >= 8192) — then the two-axis
             # blocked kernel takes over, and XLA only as last resort
-            if 4 * n * n * itemsize <= _VMEM_BUDGET:
+            if 4 * n * n * itemsize <= _VMEM_BUDGET \
+                    and _bf16_whole_ok(n, itemsize):
                 out = _smooth_whole(out, f, h=float(h), nu=k,
                                     smoother=smoother, bc=bc,
                                     interpret=_interpret())
@@ -1767,13 +1799,14 @@ def _bilinear_blend_2d(R, top_row, bot_row, is_first, is_last, n_lanes,
 # =====================================================================
 
 
-def _fused_plan(n, nu, smoother, itemsize):
+def _fused_plan(n, nu, smoother, itemsize, max_bm=0):
     """Stripe geometry for the fused half-level kernels.  The down
     kernel needs one extra exact halo ring after the sweeps for the
     residual stencil, hence radius*nu + 1."""
     radius = 2 if smoother == "rbgs" else 1
     halo = -(-(radius * nu + 1) // 8) * 8
-    return halo, _pick_bm(n, halo, itemsize, n_bufs=6)
+    return halo, _pick_bm(n, halo, itemsize, n_bufs=6, smoother=smoother,
+                          max_bm=max_bm)
 
 
 @functools.partial(
@@ -2179,8 +2212,17 @@ def _fused_plan_or_whole(u, nu, smoother):
     halo, bm = _fused_plan(n, nu, smoother, itemsize)
     if (n // bm >= 2 and bm > 2 * halo and bm % 16 == 0 and halo <= 14):
         return ("striped", halo, bm)
-    if 5 * n * n * itemsize <= _VMEM_BUDGET:
+    if 5 * n * n * itemsize <= _VMEM_BUDGET \
+            and _bf16_whole_ok(n, itemsize):
         return ("whole", 0, 0)
+    if itemsize < 4:
+        # bf16 whole-VMEM is clamped (Mosaic crash at 1024^2); retry
+        # striping below the whole-array stripe before falling through
+        # to the wide kernels (untested this small)
+        halo, bm = _fused_plan(n, nu, smoother, itemsize, max_bm=n // 2)
+        if (n // bm >= 2 and bm > 2 * halo and bm % 16 == 0
+                and halo <= 14):
+            return ("striped", halo, bm)
     # very large grids (n >= 8192): two-axis blocked kernels; the
     # residual tail needs one extra exact ring within the 8-row halo
     radius = 2 if smoother == "rbgs" else 1
@@ -2350,9 +2392,11 @@ def sharded_plan(shape, nu, smoother, dtype, composite=True):
     C = ml + 2 * _HC
     bm = nl
     best = None
+    cap = (_BF16_RBGS_MAX_BM
+           if itemsize < 4 and smoother == "rbgs" else nl)
     while bm >= 16:
         if (nl % bm == 0 and nl // bm >= 2 and bm % 16 == 0
-                and bm >= h8):
+                and bm >= h8 and bm <= cap):
             vmem = itemsize * (4 * (bm + 2 * h8) * C + 2 * bm * ml
                                + 2 * (bm // 2) * (ml // 2)
                                + 2 * (bm // 2 + 16) * (ml // 2 + 2 * _HC))
