@@ -207,10 +207,13 @@ def main():
             mesh1 = build_mesh((1, 1), devices=jax.devices()[:1])
             sstep = jax.jit(build_spmd_step(spec_s, mesh1))
             t_spmd = kt(lambda u, ff: sstep(u, ff)[0], psi, consts=(f,))
+            # like-for-like: the spmd step includes the residual-norm
+            # metric (fused into its up-leg strip kernel), so compare
+            # against the rnorm-fused unsharded cycle
             spmd_extra = {
                 "spmd_1x1_step_ms": round(t_spmd * 1e3, 4),
                 "spmd_vs_unsharded_vcycle":
-                    round(t_spmd / t_vcycle, 4)}
+                    round(t_spmd / t_vrn, 4)}
         except Exception as e:  # pragma: no cover
             spmd_extra = {"spmd_error":
                           f"{type(e).__name__}: {str(e)[:120]}"}

@@ -2579,12 +2579,21 @@ def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
-                     "h8", "bm"))
+                     "h8", "bm", "rnorm"))
 def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
                 flags, emat_in, *, h: float, nu: int, smoother: str,
-                bc: str, kind: str, interpret: bool, h8: int, bm: int):
+                bc: str, kind: str, interpret: bool, h8: int, bm: int,
+                rnorm: bool = False):
     """Per-shard fused u += P(V) + post-smooth x nu with pre-exchanged
-    strips for u, f (fine, depth h8) and V (coarse, depth 8)."""
+    strips for u, f (fine, depth h8) and V (coarse, depth 8).
+
+    rnorm: additionally return a (1, ml) f32 row of column-partial
+    sums of the LOCAL result's squared residual — the sharded twin of
+    _pc_smooth_fused's free residual stopping (psum the row's sum over
+    the mesh for the global ||r||^2).  The composite exchange depth
+    h8 = radius*nu + 1 keeps one exact halo ring after the sweeps for
+    the residual's neighbor reads, in rows AND columns (CH=128 >> h8).
+    """
     nl, ml = u.shape
     dtype = u.dtype
     CH = _HC
@@ -2593,11 +2602,18 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
     chalo, CHc = 8, _HC
     Rc = bm // 2 + 2 * chalo
     hsq = h * h
+    inv_hsq = 1.0 / hsq
     assert h8 <= 14, "coarse halo of 8 covers fine halo + bilinear shift"
 
     def kernel(u_hbm, f_hbm, v_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h,
                fl_h, fr_h, vt_h, vb_h, vl_h, vr_h, flags_ref, e_hbm,
-               out_hbm, us, fs, vs, ev, outs, in_sems, out_sems, e_sem):
+               out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, ev, outs, racc,
+             in_sems, out_sems, e_sem, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
         rf_dev = flags_ref[0] == 1
         rl_dev = flags_ref[1] == 1
         cf_dev = flags_ref[2] == 1
@@ -2664,6 +2680,19 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
             uv = _sweeps_wide(uv, fs[slot], nu, smoother, bc, hsq,
                               h8, bm, CH, ml, rf, rl, cf_dev, cl_dev)
 
+            if rnorm:
+                # ghosts must hold boundary data for the residual
+                # reads (the final sweep leaves them stale)
+                uvb = _apply_row_bc(uv, bc, rf, rl, h8 - 1, h8 + bm)
+                uvb = _apply_col_bc(uvb, bc, cf_dev, cl_dev, CH - 1,
+                                    CH + ml)
+                rv = (fs[slot] - (_nbr_plain(uvb) - 4.0 * uvb)
+                      * jnp.asarray(inv_hsq, dtype))[h8:h8 + bm,
+                                                     CH:CH + ml]
+                rv = rv.astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
             @pl.when(i >= 2)
             def _():
                 pltpu.make_async_copy(
@@ -2685,23 +2714,38 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
                 outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
                 out_sems.at[slot]).wait()
 
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((nl, ml), dtype)
+    scratch = [
+        pltpu.VMEM((2, R, C), dtype),
+        pltpu.VMEM((2, R, C), dtype),
+        pltpu.VMEM((2, Rc, ml // 2 + 2 * CHc), dtype),
+        pltpu.VMEM(_double_mat(ml, dtype).shape, dtype),
+        pltpu.VMEM((2, bm, ml), dtype),
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((3, 2, 5)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, ml), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, ml), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nl, ml), dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 15
         + [pl.BlockSpec(memory_space=pltpu.SMEM),
            pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, R, C), dtype),
-            pltpu.VMEM((2, R, C), dtype),
-            pltpu.VMEM((2, Rc, ml // 2 + 2 * CHc), dtype),
-            pltpu.VMEM(_double_mat(ml, dtype).shape, dtype),
-            pltpu.VMEM((2, bm, ml), dtype),
-            pltpu.SemaphoreType.DMA((3, 2, 5)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2 if rnorm
+        else pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch + sems,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr, flags,
@@ -2723,15 +2767,17 @@ def smooth_rr_sharded(u, f, ustrips, fstrips, flags, h, nu,
 
 def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
                       smoother="jacobi", bc="ghost0", kind="inject",
-                      *, plan):
+                      *, plan, rnorm=False):
     """Per-shard fused prolong + correct + post-smooth.  vstrips are
-    exchanged on the COARSE grid at depth 8 (rows) / 128 (cols)."""
+    exchanged on the COARSE grid at depth 8 (rows) / 128 (cols).
+    rnorm=True also returns the (1, ml) f32 local residual-square
+    partial row (free stop='residual' under the explicit partition)."""
     h8, bm = plan
     emat = _double_mat(u.shape[1], u.dtype)
     return _pc_sharded(u, f, V, *ustrips, *fstrips, *vstrips, flags,
                        emat, h=float(h), nu=nu, smoother=smoother,
                        bc=bc, kind=kind, interpret=_interpret(), h8=h8,
-                       bm=bm)
+                       bm=bm, rnorm=rnorm)
 
 
 # ---------------------------------------------------------------------

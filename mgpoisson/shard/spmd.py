@@ -389,7 +389,12 @@ def _build_parts(spec, mesh):
             [ax == 0, ax == mesh_sizes["x"] - 1,
              ay == 0, ay == mesh_sizes["y"] - 1]).astype(jnp.int32)
 
-    def cycle(u, f, h, global_size, fine_level):
+    def cycle(u, f, h, global_size, fine_level, want_r2=False):
+        """want_r2: also return the LOCAL sum of the result's squared
+        residual as an f32 scalar (fused into the up-leg strip kernel
+        when the Pallas plan is live — free stop='residual' under the
+        explicit partition), or None when no fused path produced it
+        (caller falls back to a separate residual pass)."""
         bc = "ghost0" if fine_level else spec.coarse_bc
 
         if global_size <= spec.replicate_below \
@@ -400,7 +405,8 @@ def _build_parts(spec, mesh):
             f_full = gather_full(f)
             u_full = _replicated_cycle(u_full, f_full, h, spec, gamma,
                                        fine_level, None)
-            return slice_local(u_full, u.shape)
+            u = slice_local(u_full, u.shape)
+            return (u, None) if want_r2 else u
 
         plan = level_plan(u.shape, u.dtype)
         if plan is not None:
@@ -417,10 +423,14 @@ def _build_parts(spec, mesh):
                 V = cycle(V, R, 2 * h, global_size // 2, False)
             vstrips = strips(V, 8)        # coarse exchange depth
             ustrips = strips(u, h8)       # u changed: re-exchange
-            return pk.pc_smooth_sharded(
+            out = pk.pc_smooth_sharded(
                 u, f, V, ustrips, fstrips, vstrips, fl, h,
                 spec.nu_post, smoother, bc, spec.prolong_kind,
-                plan=plan)
+                plan=plan, rnorm=want_r2)
+            if want_r2:
+                u, racc = out
+                return u, jnp.sum(racc)
+            return out
 
         # exchange the level-invariant RHS halo ONCE for both phases
         rmax = _RADIUS * max(spec.nu_pre, spec.nu_post)
@@ -433,7 +443,7 @@ def _build_parts(spec, mesh):
             V = cycle(V, R, 2 * h, global_size // 2, False)
         u = prolong_correct(u, V, spec.prolong_kind)
         u = smooth_phase(u, f, h, spec.nu_post, bc, fe, rmax)
-        return u
+        return (u, None) if want_r2 else u
 
     def step_local(psi, f):
         """Returns (psi_new, rms_update, residual_norm) — the solver
@@ -442,17 +452,24 @@ def _build_parts(spec, mesh):
         is a zero scalar, so stop='update' never pays the extra
         full-grid residual pass and stop='residual' never pays the
         update reduction."""
-        psi_new = cycle(psi, f, h0, spec.size, True)
         zero = jnp.zeros((), psi.dtype)
         if spec.stop == "update":
+            psi_new = cycle(psi, f, h0, spec.size, True)
             d = psi_new - psi
             sq = jax.lax.psum(jnp.sum(d * d), ("x", "y"))
             err_upd = jnp.sqrt(sq / (spec.size ** ndim))
             rn = zero
         else:
+            # ||r||^2 fused into the up-leg strip kernel when the
+            # Pallas plan is live; separate pass only on fallbacks
+            psi_new, r2l = cycle(psi, f, h0, spec.size, True,
+                                 want_r2=True)
             err_upd = zero
-            r = residual(psi_new, f, h0, "ghost0")
-            rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("x", "y")))
+            if r2l is None:
+                r = residual(psi_new, f, h0, "ghost0")
+                r2l = jnp.sum(r * r)
+            rn = jnp.sqrt(jax.lax.psum(r2l.astype(jnp.float32),
+                                       ("x", "y"))).astype(psi.dtype)
         return psi_new, err_upd, rn
 
     def fmg_local(f):
