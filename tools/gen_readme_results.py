@@ -80,11 +80,15 @@ def render(bench: dict, src_name: str) -> str:
             f"{ex['bf16_speedup_vs_f32']:.2f}× the f32 sweep "
             "(half the bytes per cell)", "—"))
     if ex.get("bf16_solve_floor_relres") is not None:
+        floor = ex["bf16_solve_floor_relres"]
+        floor_txt = (f"relative residual ≈ {floor:.0e}"
+                     if _finite(floor) else
+                     "diverges (non-finite iterate)")
         rows.append((
             "bfloat16 end-to-end solve floor",
-            f"relative residual ≈ {ex['bf16_solve_floor_relres']:.0e} "
-            f"after {ex.get('bf16_solve_cycles', '—')} cycles "
-            "(pure-bf16 storage; see the precision notes)", "—"))
+            f"{floor_txt} after {ex.get('bf16_solve_cycles', '—')} "
+            "cycles — pure-bf16 residuals are all cancellation; this "
+            "is why `sweep_dtype` exists (precision notes)", "—"))
     if ex.get("mixed_bf16_cycles_to_tol") is not None:
         rows.append((
             "mixed precision (bf16 sweeps + f32 refinement)",
@@ -124,7 +128,7 @@ def render(bench: dict, src_name: str) -> str:
     if cfg5.get("fast_cycles") is not None:
         rows.append((
             "16384² with scheme=\"fast\"",
-            f"{cfg5['fast_cycles']} cycles × "
+            f"{cfg5['fast_cycles']} cycle(s) × "
             f"{cfg5.get('fast_vcycle_time_ms', float('nan')):.1f} ms = "
             f"**{cfg5.get('fast_solve_compute_ms', float('nan')):.0f} "
             "ms** total compute", "—"))
@@ -139,6 +143,14 @@ def render(bench: dict, src_name: str) -> str:
     lines += ["", f"<sub>Generated from `{src_name}` by "
                   "`tools/gen_readme_results.py`.</sub>"]
     return "\n".join(lines)
+
+
+def _finite(x):
+    try:
+        import math
+        return math.isfinite(float(x))
+    except (TypeError, ValueError):
+        return False
 
 
 def main() -> None:
