@@ -377,9 +377,15 @@ def _build_parts(spec, mesh):
         kernels' lane-aligned DMA granularity), corners carried."""
         top = shift(_lines(a, 0, "hi", depth), "x", +1)
         bot = shift(_lines(a, 0, "lo", depth), "x", -1)
-        ar = jnp.concatenate([top, a, bot], axis=0)
-        left = shift(ar[:, -128:], "y", +1)
-        right = shift(ar[:, :128], "y", -1)
+        # edge columns of the row-extended block, WITHOUT materializing
+        # the (nl + 2*depth, ml) concatenation in HBM (two full array
+        # passes) — only the 128-lane edge columns are ever read
+        lcol = jnp.concatenate(
+            [top[:, -128:], a[:, -128:], bot[:, -128:]], axis=0)
+        rcol = jnp.concatenate(
+            [top[:, :128], a[:, :128], bot[:, :128]], axis=0)
+        left = shift(lcol, "y", +1)
+        right = shift(rcol, "y", -1)
         return top, bot, left, right
 
     def edge_flags():
