@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import json
+import math
 import time
 
 import jax
@@ -404,7 +405,20 @@ def main():
             "roofline_target_gbps": target,
         },
     }
-    print(json.dumps(out))
+    print(json.dumps(_strict(out), allow_nan=False))
+
+
+def _strict(x):
+    """Strict-JSON-safe copy: non-finite floats (a diverged bf16 solve
+    yields an inf residual) become strings — `json.dumps` would emit
+    bare `Infinity`/`NaN`, which strict parsers reject."""
+    if isinstance(x, dict):
+        return {k: _strict(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_strict(v) for v in x]
+    if isinstance(x, float) and not math.isfinite(x):
+        return repr(x)
+    return x
 
 
 if __name__ == "__main__":

@@ -143,6 +143,37 @@ def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
                     lambda u=u, f=f, nu=nu, sm=sm:
                         xla.smooth_residual_restrict(u, f, h, nu, sm,
                                                      "ghost0"))
+            # single-device-column layout: no column strips/window
+            planc = pk.sharded_plan((n, n), nu, sm, dtype,
+                                    col_nbrs=False)
+            if planc is not None:
+                h8 = planc[0]
+                zrow = jnp.zeros((h8, n), dtype)
+                stripsc = (zrow, zrow, None, None)
+                zvrow = jnp.zeros((8, n // 2), dtype)
+                vstripsc = (zvrow, zvrow, None, None)
+                flags = jnp.ones((4,), jnp.int32)
+                V = _mkdata((n // 2, n // 2), dtype, seed=6)[0]
+                add(f"shard_rr_nocol_{n}_{dt}",
+                    lambda u=u, f=f, stripsc=stripsc, flags=flags,
+                    nu=nu, sm=sm, planc=planc:
+                        pk.smooth_rr_sharded(u, f, stripsc, stripsc,
+                                             flags, h, nu, sm, "ghost0",
+                                             plan=planc),
+                    lambda u=u, f=f, nu=nu, sm=sm:
+                        xla.smooth_residual_restrict(u, f, h, nu, sm,
+                                                     "ghost0"))
+                add(f"shard_pc_nocol_{n}_{dt}",
+                    lambda u=u, f=f, V=V, stripsc=stripsc,
+                    vstripsc=vstripsc, flags=flags, nu=nu, sm=sm,
+                    planc=planc:
+                        pk.pc_smooth_sharded(u, f, V, stripsc, stripsc,
+                                             vstripsc, flags, h, nu, sm,
+                                             "ghost0", "bilinear",
+                                             plan=planc),
+                    lambda u=u, f=f, V=V, nu=nu, sm=sm:
+                        xla.prolong_correct_smooth(u, f, V, h, nu, sm,
+                                                   "ghost0", "bilinear"))
 
     # wide (two-axis-blocked) kernels with forced geometry — the
     # n >= 8192 code path exercised at a testable size

@@ -2369,11 +2369,17 @@ def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
 # apply per shard under the explicit partition (BASELINE config 5).
 
 
-def sharded_plan(shape, nu, smoother, dtype, composite=True):
+def sharded_plan(shape, nu, smoother, dtype, composite=True,
+                 col_nbrs=True):
     """(h8, bm) stripe geometry for the strip kernels, or None.
 
     shape: the LOCAL block (nl, ml).  h8 is both the in-kernel stripe
-    halo and the strip exchange depth the caller must use."""
+    halo and the strip exchange depth the caller must use.
+
+    col_nbrs=False: the mesh has a single device column, so the
+    kernels compile WITHOUT the 128-lane column strips/window — column
+    BCs are value-edge inline (the unsharded stripe scheme).  The
+    caller then passes (top, bot, None, None) strips."""
     if len(shape) != 2 or nu < 1:
         return None
     if smoother not in ("jacobi", "wjacobi", "rbgs"):
@@ -2389,7 +2395,8 @@ def sharded_plan(shape, nu, smoother, dtype, composite=True):
     if h8 > 14:        # coarse-halo fine coverage (16) must exceed h8+2
         return None
     itemsize = jnp.dtype(dtype).itemsize
-    C = ml + 2 * _HC
+    hc = _HC if col_nbrs else 0
+    C = ml + 2 * hc
     bm = nl
     best = None
     cap = (_BF16_RBGS_MAX_BM
@@ -2399,7 +2406,7 @@ def sharded_plan(shape, nu, smoother, dtype, composite=True):
                 and bm >= h8 and bm <= cap):
             vmem = itemsize * (4 * (bm + 2 * h8) * C + 2 * bm * ml
                                + 2 * (bm // 2) * (ml // 2)
-                               + 2 * (bm // 2 + 16) * (ml // 2 + 2 * _HC))
+                               + 2 * (bm // 2 + 16) * (ml // 2 + 2 * hc))
             if vmem <= _VMEM_BUDGET:
                 best = (h8, bm)
                 break
@@ -2410,20 +2417,23 @@ def sharded_plan(shape, nu, smoother, dtype, composite=True):
 def _strip_stripe_in(op, body, top, bot, left, right, vref, sems, i,
                      slot, bm, h8, n_str, ml):
     """Start/wait the 3-5 DMAs assembling stripe i of (body + strips)
-    into vref[slot] of shape (bm + 2*h8, _HC + ml + _HC).  sems has a
+    into vref[slot] of shape (bm + 2*h8, CH + ml + CH), CH = _HC, or
+    (bm + 2*h8, ml) when left/right are None (single-device-column
+    meshes compile without the column strips/window).  sems has a
     leading dim of 5 (left, right, body, head, tail)."""
     R = bm + 2 * h8
-    CH = _HC
+    CH = _HC if left is not None else 0
 
     def dma(src, rows_dst, cols_dst, sem):
         getattr(pltpu.make_async_copy(
             src, vref.at[slot, rows_dst, cols_dst], sem), op)()
 
-    # left/right strips: rows [i*bm, i*bm + R) — always in range
-    dma(left.at[pl.ds(_mult8(i * bm), R)],
-        pl.ds(0, R), pl.ds(0, CH), sems.at[slot, 0])
-    dma(right.at[pl.ds(_mult8(i * bm), R)],
-        pl.ds(0, R), pl.ds(CH + ml, CH), sems.at[slot, 1])
+    if left is not None:
+        # left/right strips: rows [i*bm, i*bm + R) — always in range
+        dma(left.at[pl.ds(_mult8(i * bm), R)],
+            pl.ds(0, R), pl.ds(0, CH), sems.at[slot, 0])
+        dma(right.at[pl.ds(_mult8(i * bm), R)],
+            pl.ds(0, R), pl.ds(CH + ml, CH), sems.at[slot, 1])
 
     # clipped body window [i*bm - h8, i*bm + bm + h8)
     @pl.when(i == 0)
@@ -2456,24 +2466,39 @@ def _strip_stripe_in(op, body, top, bot, left, right, vref, sems, i,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "nu", "smoother", "bc", "interpret", "h8", "bm"))
+    static_argnames=("h", "nu", "smoother", "bc", "interpret", "h8",
+                     "bm", "cols"))
 def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
                 *, h: float, nu: int, smoother: str, bc: str,
-                interpret: bool, h8: int, bm: int):
+                interpret: bool, h8: int, bm: int, cols: bool = True):
     """Per-shard fused pre-smooth x nu + residual + restrict on a local
-    block with pre-exchanged halo strips.  Returns (u_center, R)."""
+    block with pre-exchanged halo strips.  Returns (u_center, R).
+
+    cols=False (ul/ur/fl/fr are None): single-device-column mesh — no
+    column strips, no 128-lane window padding, value-edge column BC
+    inline (the unsharded stripe scheme); only the row strips differ
+    from the unsharded composite, so a (N,1) mesh pays ~nothing over
+    the single-chip kernel."""
     nl, ml = u.shape
     dtype = u.dtype
-    CH = _HC
+    CH = _HC if cols else 0
     n_str = nl // bm
     R, C = bm + 2 * h8, ml + 2 * CH
     hsq = h * h
     inv_hsq = 1.0 / hsq
 
-    def kernel(u_hbm, f_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h, fl_h,
-               fr_h, flags_ref, p_hbm, out_hbm, rout_hbm,
-               us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
-               p_sem):
+    def kernel(*args):
+        if cols:
+            (u_hbm, f_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h, fl_h,
+             fr_h, flags_ref, p_hbm, out_hbm, rout_hbm,
+             us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+             p_sem) = args
+        else:
+            (u_hbm, f_hbm, ut_h, ub_h, ft_h, fb_h, flags_ref, p_hbm,
+             out_hbm, rout_hbm,
+             us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+             p_sem) = args
+            ul_h = ur_h = fl_h = fr_h = None
         rf_dev = flags_ref[0] == 1
         rl_dev = flags_ref[1] == 1
         cf_dev = flags_ref[2] == 1
@@ -2505,13 +2530,22 @@ def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
 
             rf = (i == 0) & rf_dev
             rl = (i == n_str - 1) & rl_dev
-            uv = _sweeps_wide(us[slot], fs[slot], nu, smoother, bc, hsq,
-                              h8, bm, CH, ml, rf, rl, cf_dev, cl_dev)
-            # ghosts must hold boundary data for the residual reads
-            uv = _apply_row_bc(uv, bc, rf, rl, h8 - 1, h8 + bm)
-            uv = _apply_col_bc(uv, bc, cf_dev, cl_dev, CH - 1, CH + ml)
+            if cols:
+                uv = _sweeps_wide(us[slot], fs[slot], nu, smoother, bc,
+                                  hsq, h8, bm, CH, ml, rf, rl, cf_dev,
+                                  cl_dev)
+                # ghosts must hold boundary data for the residual reads
+                uv = _apply_row_bc(uv, bc, rf, rl, h8 - 1, h8 + bm)
+                uv = _apply_col_bc(uv, bc, cf_dev, cl_dev, CH - 1,
+                                   CH + ml)
+                nbr_uv = _nbr_plain(uv)
+            else:
+                uv = _sweeps(us[slot], fs[slot], nu, smoother, bc, hsq,
+                             0.0, h8, bm, rf, rl)
+                uv = _apply_row_bc(uv, bc, rf, rl, h8 - 1, h8 + bm)
+                nbr_uv = _nbr(uv, bc)
 
-            rv_full = fs[slot] - (_nbr_plain(uv) - 4.0 * uv) \
+            rv_full = fs[slot] - (nbr_uv - 4.0 * uv) \
                 * jnp.asarray(inv_hsq, dtype)
             rv = rv_full[h8:h8 + bm, CH:CH + ml]
             s = rv.reshape(bm // 2, 2, ml).sum(axis=1)
@@ -2551,11 +2585,13 @@ def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
                 rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
                 rout_sems.at[slot]).wait()
 
+    operands = (u, f, ut, ub, ul, ur, ft, fb, fl, fr) if cols \
+        else (u, f, ut, ub, ft, fb)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((nl, ml), dtype),
                    jax.ShapeDtypeStruct((nl // 2, ml // 2), dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 10
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands)
         + [pl.BlockSpec(memory_space=pltpu.SMEM),
            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
@@ -2573,17 +2609,17 @@ def _rr_sharded(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(u, f, ut, ub, ul, ur, ft, fb, fl, fr, flags, pmat_in)
+    )(*operands, flags, pmat_in)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
-                     "h8", "bm", "rnorm"))
+                     "h8", "bm", "rnorm", "cols"))
 def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
                 flags, emat_in, *, h: float, nu: int, smoother: str,
                 bc: str, kind: str, interpret: bool, h8: int, bm: int,
-                rnorm: bool = False):
+                rnorm: bool = False, cols: bool = True):
     """Per-shard fused u += P(V) + post-smooth x nu with pre-exchanged
     strips for u, f (fine, depth h8) and V (coarse, depth 8).
 
@@ -2596,18 +2632,24 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
     """
     nl, ml = u.shape
     dtype = u.dtype
-    CH = _HC
+    CH = _HC if cols else 0
     n_str = nl // bm
     R, C = bm + 2 * h8, ml + 2 * CH
-    chalo, CHc = 8, _HC
+    chalo, CHc = 8, (_HC if cols else 0)
     Rc = bm // 2 + 2 * chalo
     hsq = h * h
     inv_hsq = 1.0 / hsq
     assert h8 <= 14, "coarse halo of 8 covers fine halo + bilinear shift"
 
-    def kernel(u_hbm, f_hbm, v_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h,
-               fl_h, fr_h, vt_h, vb_h, vl_h, vr_h, flags_ref, e_hbm,
-               out_hbm, *rest):
+    def kernel(*args):
+        if cols:
+            (u_hbm, f_hbm, v_hbm, ut_h, ub_h, ul_h, ur_h, ft_h, fb_h,
+             fl_h, fr_h, vt_h, vb_h, vl_h, vr_h, flags_ref, e_hbm,
+             out_hbm, *rest) = args
+        else:
+            (u_hbm, f_hbm, v_hbm, ut_h, ub_h, ft_h, fb_h, vt_h, vb_h,
+             flags_ref, e_hbm, out_hbm, *rest) = args
+            ul_h = ur_h = fl_h = fr_h = vl_h = vr_h = None
         if rnorm:
             (racc_hbm, us, fs, vs, ev, outs, racc,
              in_sems, out_sems, e_sem, r_sem) = rest
@@ -2616,8 +2658,10 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
             us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
         rf_dev = flags_ref[0] == 1
         rl_dev = flags_ref[1] == 1
-        cf_dev = flags_ref[2] == 1
-        cl_dev = flags_ref[3] == 1
+        # cols=False => a single device column: every device holds both
+        # global column edges (static, lets the fixups constant-fold)
+        cf_dev = flags_ref[2] == 1 if cols else True
+        cl_dev = flags_ref[3] == 1 if cols else True
 
         edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
         edma.start()
@@ -2677,16 +2721,25 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
                     2 * CHc - CH:2 * CHc - CH + C]
 
             uv = us[slot] + vf
-            uv = _sweeps_wide(uv, fs[slot], nu, smoother, bc, hsq,
-                              h8, bm, CH, ml, rf, rl, cf_dev, cl_dev)
+            if cols:
+                uv = _sweeps_wide(uv, fs[slot], nu, smoother, bc, hsq,
+                                  h8, bm, CH, ml, rf, rl, cf_dev,
+                                  cl_dev)
+            else:
+                uv = _sweeps(uv, fs[slot], nu, smoother, bc, hsq, 0.0,
+                             h8, bm, rf, rl)
 
             if rnorm:
                 # ghosts must hold boundary data for the residual
                 # reads (the final sweep leaves them stale)
                 uvb = _apply_row_bc(uv, bc, rf, rl, h8 - 1, h8 + bm)
-                uvb = _apply_col_bc(uvb, bc, cf_dev, cl_dev, CH - 1,
-                                    CH + ml)
-                rv = (fs[slot] - (_nbr_plain(uvb) - 4.0 * uvb)
+                if cols:
+                    uvb = _apply_col_bc(uvb, bc, cf_dev, cl_dev,
+                                        CH - 1, CH + ml)
+                    nbr_uvb = _nbr_plain(uvb)
+                else:
+                    nbr_uvb = _nbr(uvb, bc)
+                rv = (fs[slot] - (nbr_uvb - 4.0 * uvb)
                       * jnp.asarray(inv_hsq, dtype))[h8:h8 + bm,
                                                      CH:CH + ml]
                 rv = rv.astype(jnp.float32)
@@ -2737,10 +2790,12 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
                      jax.ShapeDtypeStruct((1, ml), jnp.float32))
         scratch = scratch + [pltpu.VMEM((1, ml), jnp.float32)]
         sems = sems + [pltpu.SemaphoreType.DMA(())]
+    operands = (u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl,
+                vr) if cols else (u, f, V, ut, ub, ft, fb, vt, vb)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 15
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands)
         + [pl.BlockSpec(memory_space=pltpu.SMEM),
            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2 if rnorm
@@ -2748,8 +2803,7 @@ def _pc_sharded(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr,
         scratch_shapes=scratch + sems,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(u, f, V, ut, ub, ul, ur, ft, fb, fl, fr, vt, vb, vl, vr, flags,
-      emat_in)
+    )(*operands, flags, emat_in)
 
 
 def smooth_rr_sharded(u, f, ustrips, fstrips, flags, h, nu,
@@ -2757,12 +2811,14 @@ def smooth_rr_sharded(u, f, ustrips, fstrips, flags, h, nu,
     """Per-shard fused pre-smooth + residual + restrict (see the
     section comment).  ustrips/fstrips = (top, bottom, left_full,
     right_full) at exchange depth plan[0]; flags = (4,) int32
-    [row_first, row_last, col_first, col_last]."""
+    [row_first, row_last, col_first, col_last].  left/right of None
+    (single-device-column mesh) compile without the column window."""
     h8, bm = plan
     pmat = _halve_mat(u.shape[1], u.dtype)
     return _rr_sharded(u, f, *ustrips, *fstrips, flags, pmat,
                        h=float(h), nu=nu, smoother=smoother, bc=bc,
-                       interpret=_interpret(), h8=h8, bm=bm)
+                       interpret=_interpret(), h8=h8, bm=bm,
+                       cols=ustrips[2] is not None)
 
 
 def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
@@ -2777,7 +2833,8 @@ def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
     return _pc_sharded(u, f, V, *ustrips, *fstrips, *vstrips, flags,
                        emat, h=float(h), nu=nu, smoother=smoother,
                        bc=bc, kind=kind, interpret=_interpret(), h8=h8,
-                       bm=bm, rnorm=rnorm)
+                       bm=bm, rnorm=rnorm,
+                       cols=ustrips[2] is not None)
 
 
 # ---------------------------------------------------------------------

@@ -364,19 +364,28 @@ def _build_parts(spec, mesh):
     # bc fixup expects (flags mark which device edges are global).
     pallas_on = _pallas_enabled(spec)
     nu_plan = max(spec.nu_pre, spec.nu_post)
+    # a single device column means no column neighbors exist: the strip
+    # kernels compile without the 128-lane column strips/window and the
+    # (N,1) mesh — the natural ICI-ring decomposition — pays only the
+    # tiny row-strip DMAs over the single-chip fused kernels
+    col_nbrs = mesh_sizes["y"] > 1
 
     def level_plan(shape, dtype):
         if not pallas_on:
             return None
         from mgpoisson.kernels import pallas as pk
-        return pk.sharded_plan(shape, nu_plan, smoother, dtype)
+        return pk.sharded_plan(shape, nu_plan, smoother, dtype,
+                               col_nbrs=col_nbrs)
 
     def strips(a, depth):
         """(top, bot, left, right) ppermute halo strips for local 2D
         block a: rows `depth` deep, columns 128 lanes wide (the strip
-        kernels' lane-aligned DMA granularity), corners carried."""
+        kernels' lane-aligned DMA granularity), corners carried.
+        left/right are None on a single-device-column mesh."""
         top = shift(_lines(a, 0, "hi", depth), "x", +1)
         bot = shift(_lines(a, 0, "lo", depth), "x", -1)
+        if not col_nbrs:
+            return top, bot, None, None
         # edge columns of the row-extended block, WITHOUT materializing
         # the (nl + 2*depth, ml) concatenation in HBM (two full array
         # passes) — only the 128-lane edge columns are ever read

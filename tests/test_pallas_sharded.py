@@ -125,6 +125,79 @@ def test_pc_sharded_matches_xla(kind, bc):
     np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("smoother,nu", [("wjacobi", 3), ("rbgs", 2)])
+@pytest.mark.parametrize("bc", ["ghost0", "face"])
+def test_rr_sharded_no_cols_matches_xla(smoother, nu, bc):
+    """(2,1) device grid: single device column -> the kernels compile
+    WITHOUT the column strips/window (strips left/right = None)."""
+    n, px = 512, 2
+    nl, ml = n // px, n
+    u, f = _data(n)
+    h = 1.0 / n
+    plan = pk.sharded_plan((nl, ml), nu, smoother, u.dtype,
+                           col_nbrs=False)
+    assert plan is not None
+    h8 = plan[0]
+
+    u_ref, R_ref = xla.smooth_residual_restrict(u, f, h, nu, smoother, bc)
+
+    u_out = np.zeros((n, n), np.float32)
+    R_out = np.zeros((n // 2, n // 2), np.float32)
+    for i0 in range(px):
+        ub, fb = _block(u, i0, 0, nl, ml), _block(f, i0, 0, nl, ml)
+        us = _strips(u, i0, 0, nl, ml, h8)[:2] + (None, None)
+        fs = _strips(f, i0, 0, nl, ml, h8)[:2] + (None, None)
+        ug, Rg = pk.smooth_rr_sharded(
+            ub, fb, us, fs, _flags(i0, 0, px, 1), h, nu,
+            smoother, bc, plan=plan)
+        u_out[i0 * nl:(i0 + 1) * nl, :] = ug
+        R_out[i0 * nl // 2:(i0 + 1) * nl // 2, :] = Rg
+
+    np.testing.assert_allclose(u_out, np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    scale = float(jnp.max(jnp.abs(R_ref)))
+    np.testing.assert_allclose(R_out / scale, np.asarray(R_ref) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", ["inject", "bilinear"])
+@pytest.mark.parametrize("bc", ["ghost0", "face"])
+def test_pc_sharded_no_cols_matches_xla(kind, bc):
+    n, px = 512, 2
+    nl, ml = n // px, n
+    nu, smoother = 3, "wjacobi"
+    u, f = _data(n, seed=2)
+    rng = np.random.default_rng(3)
+    V = jnp.asarray(rng.normal(size=(n // 2, n // 2)), jnp.float32)
+    h = 1.0 / n
+    plan = pk.sharded_plan((nl, ml), nu, smoother, u.dtype,
+                           col_nbrs=False)
+    assert plan is not None
+    h8 = plan[0]
+
+    ref = xla.prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
+    r_ref = xla.residual(ref, f, h, bc)
+
+    got = np.zeros((n, n), np.float32)
+    r2 = 0.0
+    for i0 in range(px):
+        ub, fb = _block(u, i0, 0, nl, ml), _block(f, i0, 0, nl, ml)
+        Vb = _block(V, i0, 0, nl // 2, ml // 2)
+        us = _strips(u, i0, 0, nl, ml, h8)[:2] + (None, None)
+        fs = _strips(f, i0, 0, nl, ml, h8)[:2] + (None, None)
+        vs = _strips(V, i0, 0, nl // 2, ml // 2, 8)[:2] + (None, None)
+        ug, racc = pk.pc_smooth_sharded(
+            ub, fb, Vb, us, fs, vs, _flags(i0, 0, px, 1), h, nu,
+            smoother, bc, kind, plan=plan, rnorm=True)
+        got[i0 * nl:(i0 + 1) * nl, :] = ug
+        r2 += float(jnp.sum(racc))
+
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # the free residual-norm row agrees with a separate pass
+    np.testing.assert_allclose(
+        np.sqrt(r2), float(jnp.sqrt(jnp.sum(r_ref * r_ref))), rtol=1e-4)
+
+
 def test_single_block_matches_unsharded():
     """A (1,1) 'mesh' with all-zero strips must agree with the
     unsharded fused path (the mesh_shape=(1,1) sanity bench case)."""
@@ -222,6 +295,23 @@ def test_spmd_pallas_rbgs_reference_scheme():
     np.testing.assert_allclose(np.asarray(psiP) / scale,
                                np.asarray(psi1) / scale,
                                rtol=3e-5, atol=3e-5)
+
+
+def test_spmd_pallas_residual_stop_single_column_mesh():
+    """(2,1) mesh + stop='residual': the fused rnorm row of the
+    no-column-strips up-leg kernel feeds the psum'd stopping metric."""
+    from mgpoisson import Spec
+
+    spec1 = Spec(size=512, dtype="float32", backend="xla", scheme="tuned",
+                 stop="residual")
+    specP = spec1.with_(mesh_shape=(2, 1), partition="spmd",
+                        backend="pallas")
+    psi1, err1, psiP, errP = _step_pair(spec1, specP)
+    scale = float(jnp.max(jnp.abs(psi1)))
+    np.testing.assert_allclose(np.asarray(psiP) / scale,
+                               np.asarray(psi1) / scale,
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(errP), float(err1), rtol=1e-3)
 
 
 def test_spmd_pallas_gating():
