@@ -218,6 +218,26 @@ def main():
         except Exception as e:  # pragma: no cover
             spmd_extra = {"spmd_error":
                           f"{type(e).__name__}: {str(e)[:120]}"}
+        try:
+            # 3D analog: the z-strip kernels on a (1,1) mesh (the
+            # sharded 3D fine level must keep the fused-kernel win)
+            from mgpoisson.shard.mesh import build_mesh
+            from mgpoisson.shard.spmd import build_spmd_step
+            spec3s = Spec(size=256, ndim=3, dtype="float32",
+                          scheme="tuned", backend="auto",
+                          pre_smooth=nu, post_smooth=nu,
+                          mesh_shape=(1, 1), partition="spmd",
+                          stop="residual")
+            mesh1 = build_mesh((1, 1), devices=jax.devices()[:1])
+            sstep3 = jax.jit(build_spmd_step(spec3s, mesh1))
+            f3s = jnp.zeros((256,) * 3, jnp.float32).at[
+                (128,) * 3].set(-1e6)
+            t_spmd3 = kt(lambda u, ff: sstep3(u, ff)[0], -f3s,
+                         consts=(f3s,))
+            spmd_extra["spmd3d_1x1_step_ms"] = round(t_spmd3 * 1e3, 4)
+        except Exception as e:  # pragma: no cover
+            spmd_extra["spmd3d_error"] = (
+                f"{type(e).__name__}: {str(e)[:120]}")
 
     # --- compiled-kernel parity sweep (every Pallas path vs the XLA
     # ops, ON DEVICE — the reference's cross-implementation diffing

@@ -228,6 +228,36 @@ def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
             lambda: xla.prolong_correct_smooth(u3, f3, V3, h3, 3,
                                                "wjacobi", "ghost0",
                                                "inject"))
+        # 3D per-shard z-strip kernels, compiled, (1,1)-mesh layout
+        plan3 = pk.sharded_plan3((n3, n3, n3), 3, "wjacobi", jnp.float32)
+        if plan3 is not None:
+            hz3, chz3 = plan3[0], plan3[3]
+            zslab = jnp.zeros((hz3, n3, n3), jnp.float32)
+            strips3 = (zslab, zslab)
+            vslab = jnp.zeros((chz3, n3 // 2, n3 // 2), jnp.float32)
+            vstrips3 = (vslab, vslab)
+            fl3 = jnp.ones((4,), jnp.int32)
+            add("shard_rr3d_f32",
+                lambda: pk.smooth_rr_sharded3(
+                    u3, f3, strips3, strips3, fl3, h3, 3, "wjacobi",
+                    "ghost0", plan=plan3),
+                lambda: xla.smooth_residual_restrict(
+                    u3, f3, h3, 3, "wjacobi", "ghost0"))
+
+            def _pc3s_ref():
+                r_u = xla.prolong_correct_smooth(
+                    u3, f3, V3, h3, 3, "wjacobi", "ghost0", "bilinear")
+                r_r2 = jnp.sum(xla.residual(r_u, f3, h3, "ghost0") ** 2)
+                return r_u, jnp.asarray([r_r2])
+
+            add("shard_pc3d_f32",
+                lambda: (lambda gu_gr: (gu_gr[0],
+                                        jnp.asarray([jnp.sum(gu_gr[1])])))(
+                    pk.pc_smooth_sharded3(
+                        u3, f3, V3, strips3, strips3, vstrips3, fl3, h3,
+                        3, "wjacobi", "ghost0", "bilinear", plan=plan3,
+                        rnorm=True)),
+                _pc3s_ref)
 
     worst = max(cases, key=cases.get) if cases else None
     # split the gate by dtype: f32 cases must match the XLA ops to

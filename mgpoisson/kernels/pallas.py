@@ -2838,6 +2838,415 @@ def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
 
 
 # ---------------------------------------------------------------------
+# 3D per-shard fused strip kernels (z-sharded meshes).  The 3D analog
+# of the 2D section above for the (N, 1) device grid — the natural ICI
+# ring for 3D domains: only the leading (z) axis is device-sharded, so
+# the kernels take z-slab strips (whose DMA offsets are free: z is the
+# untiled axis of the (8, 128) tile) and keep y/x local with the
+# unsharded kernels' in-block clipping + bc fixups.  Meshes that also
+# split y fall back to the XLA shard path (mgpoisson/shard/spmd.py).
+
+
+def sharded_plan3(shape, nu, smoother, dtype):
+    """(hz, bz, by, chz) block geometry for the 3D z-sharded strip
+    kernels, or None.  shape: the LOCAL block (nzl, ny, nx) — z is the
+    device-sharded axis.  hz is both the in-kernel z halo and the
+    strip exchange depth for u/f; chz the coarse (V) exchange depth."""
+    if len(shape) != 3 or nu < 1:
+        return None
+    if smoother not in ("jacobi", "wjacobi", "rbgs"):
+        return None
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return None
+    nzl, ny, nx = shape
+    # nx % 256 (not 128): the composite outputs R (lanes nx // 2) and
+    # reads V (lanes nx // 2) — their VMEM slices crash Mosaic below
+    # 128-lane alignment ("Slice shape along dimension 3 must be
+    # aligned to tiling (128)", not reproducible in interpret mode);
+    # sub-256-lane levels fall back to XLA, which wins there anyway
+    if nx % 256 or ny % 8 or nzl % 2 or nzl < 8:
+        return None
+    plan = _plan3d(shape, nu, smoother, jnp.dtype(dtype).itemsize,
+                   composite=True)
+    if plan is None:
+        return None
+    hz, bz, by = plan
+    return hz, bz, by, (hz + 3) // 2
+
+
+def _strip_block_in_3d(op, body, top, bot, vref, sems, iz, iy, slot,
+                       bz, hz, nzs, by, hy, nys):
+    """Start/wait the DMAs assembling (z, y) block (iz, iy) of body +
+    z-neighbor strips into vref[slot] of shape (bz+2*hz, by+2*hy, nx).
+    z is device-sharded: the halo outside the local array comes from
+    `top`/`bot` strips of shape (hz, ny, nx) (real neighbor planes or
+    the collective's zero fill at global edges — never stale); y is
+    local: clipped windows whose stale edge scratch the in-kernel bc
+    fixups overwrite.  sems: a (3,) semaphore slice (body, head,
+    tail); exactly one DMA fires per semaphore per block."""
+    Rz = bz + 2 * hz
+    ycases = _axis_cases(iy, by, hy, nys)
+
+    def dma(src, z_dst, cols_dst, sem):
+        getattr(pltpu.make_async_copy(
+            src, vref.at[slot, z_dst, cols_dst], sem), op)()
+
+    # body: z window clipped to the local array (same as unsharded)
+    _block_in_3d(op, body, vref, sems.at[0], iz, iy, slot,
+                 bz, hz, nzs, by, hy, nys)
+
+    # head/tail planes from the z-neighbor strips, y-windowed like the
+    # body (z strips span full local (ny, nx), so corners are carried)
+    for cy, sy, ly, dy in ycases:
+        cond = iz == 0 if cy is None else (iz == 0) & cy
+
+        def head(sy=sy, ly=ly, dy=dy):
+            dma(top.at[pl.ds(0, hz), pl.ds(_mult8(sy), ly)],
+                pl.ds(0, hz), pl.ds(dy, ly), sems.at[1])
+
+        pl.when(cond)(head)
+    for cy, sy, ly, dy in ycases:
+        cond = iz == nzs - 1 if cy is None else (iz == nzs - 1) & cy
+
+        def tail(sy=sy, ly=ly, dy=dy):
+            dma(bot.at[pl.ds(0, hz), pl.ds(_mult8(sy), ly)],
+                pl.ds(Rz - hz, hz), pl.ds(dy, ly), sems.at[2])
+
+        pl.when(cond)(tail)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret",
+                     "hz", "bz", "by"))
+def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
+                   nu: int, smoother: str, bc: str, interpret: bool,
+                   hz: int, bz: int, by: int):
+    """Per-shard 3D fused pre-smooth x nu + residual + restrict on a
+    local (nzl, ny, nx) block with pre-exchanged z-slab strips.
+    Returns (u_center, R).  Mirrors _rr_fused_3d; only the z edges
+    differ: halo planes come from strips, and the z bc fixups fire
+    only on devices holding a global z edge (flags[0]/flags[1])."""
+    nzl, ny, nx = u.shape
+    dtype = u.dtype
+    hy = 8
+    nzs, nys = nzl // bz, ny // by
+    n_blocks = nzs * nys
+    Rz, Ry = bz + 2 * hz, by + 2 * hy
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, ut_h, ub_h, ft_h, fb_h, flags_ref, p_hbm,
+               out_hbm, rout_hbm, us, fs, pv, outs, routs,
+               in_sems, out_sems, rout_sems, p_sem):
+        zf_dev = flags_ref[0] == 1
+        zl_dev = flags_ref[1] == 1
+        pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
+        pdma.start()
+
+        def issue(b, slot, op):
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+            _strip_block_in_3d(op, u_hbm, ut_h, ub_h, us,
+                               in_sems.at[slot, 0], iz, iy, slot,
+                               bz, hz, nzs, by, hy, nys)
+            _strip_block_in_3d(op, f_hbm, ft_h, fb_h, fs,
+                               in_sems.at[slot, 1], iz, iy, slot,
+                               bz, hz, nzs, by, hy, nys)
+
+        issue(0, 0, "start")
+        pdma.wait()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2), "start")
+
+            issue(b, slot, "wait")
+
+            zf = (iz == 0) & zf_dev
+            zl = (iz == nzs - 1) & zl_dev
+            yf, yl = iy == 0, iy == nys - 1
+            uv = _sweeps3(us[slot], fs[slot], nu, smoother, bc, hsq,
+                          hz, bz, hy, by, zf, zl, yf, yl)
+            # ghosts must hold boundary data for the residual reads
+            uv = _apply_bc_3d(uv, bc, zf, zl, yf, yl, hz, bz, hy, by)
+
+            rv_full = fs[slot] - (_nbr3(uv, bc) - 6.0 * uv) \
+                * jnp.asarray(inv_hsq, dtype)
+            rv = rv_full[hz:hz + bz, hy:hy + by, :]
+            s = rv.reshape(bz // 2, 2, by, nx).sum(axis=1)
+            s = s.reshape(bz // 2, by // 2, 2, nx).sum(axis=2)
+            Rv = _lane_halve3(s, pv[:]) * jnp.asarray(0.125, dtype)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bz), pl.ds(0, by)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot],
+                    rout_hbm.at[pl.ds(0, bz // 2), pl.ds(0, by // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = uv[hz:hz + bz, hy:hy + by, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz),
+                           pl.ds(pl.multiple_of(iy * by, 8), by)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(iz * (bz // 2), bz // 2),
+                            pl.ds(pl.multiple_of(iy * (by // 2), 8),
+                                  by // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            if k < 0:
+                continue
+            slot = k % 2
+            iz, iy = k // nys, k % nys
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz), pl.ds(iy * by, by)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(iz * (bz // 2), bz // 2),
+                            pl.ds(iy * (by // 2), by // 2)],
+                rout_sems.at[slot]).wait()
+
+    pmat_shape = pmat_in.shape
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nzl, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((nzl // 2, ny // 2, nx // 2),
+                                        dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM((2, Rz, Ry, nx), dtype),
+            pltpu.VMEM(pmat_shape, dtype),
+            pltpu.VMEM((2, bz, by, nx), dtype),
+            pltpu.VMEM((2, bz // 2, by // 2, nx // 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(u, f, ut, ub, ft, fb, flags, pmat_in)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
+                     "hz", "bz", "by", "chz", "rnorm"))
+def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
+                   h: float, nu: int, smoother: str, bc: str, kind: str,
+                   interpret: bool, hz: int, bz: int, by: int, chz: int,
+                   rnorm: bool = False):
+    """Per-shard 3D fused u += P(V) + post-smooth x nu with
+    pre-exchanged z strips for u, f (depth hz) and V (coarse, depth
+    chz).  Mirrors _pc_fused_3d; rnorm adds a (1, by, nx) f32 local
+    residual-square partial slab (free stop='residual')."""
+    nzl, ny, nx = u.shape
+    dtype = u.dtype
+    hy = 8
+    nzs, nys = nzl // bz, ny // by
+    n_blocks = nzs * nys
+    Rz, Ry = bz + 2 * hz, by + 2 * hy
+    chy = 8
+    Rcz, Rcy = bz // 2 + 2 * chz, by // 2 + 2 * chy
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+    assert hz <= 14 and chz <= bz // 2 and chy <= by // 2
+
+    def kernel(u_hbm, f_hbm, v_hbm, ut_h, ub_h, ft_h, fb_h, vt_h, vb_h,
+               flags_ref, e_hbm, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, ev, outs, racc,
+             in_sems, out_sems, e_sem, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
+        zf_dev = flags_ref[0] == 1
+        zl_dev = flags_ref[1] == 1
+        edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
+        edma.start()
+
+        def issue(b, slot, op):
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+            _strip_block_in_3d(op, u_hbm, ut_h, ub_h, us,
+                               in_sems.at[slot, 0], iz, iy, slot,
+                               bz, hz, nzs, by, hy, nys)
+            _strip_block_in_3d(op, f_hbm, ft_h, fb_h, fs,
+                               in_sems.at[slot, 1], iz, iy, slot,
+                               bz, hz, nzs, by, hy, nys)
+            _strip_block_in_3d(op, v_hbm, vt_h, vb_h, vs,
+                               in_sems.at[slot, 2], iz, iy, slot,
+                               bz // 2, chz, nzs, by // 2, chy, nys)
+
+        issue(0, 0, "start")
+        edma.wait()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            iz, iy = b // nys, jax.lax.rem(b, nys)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2), "start")
+
+            issue(b, slot, "wait")
+
+            zf = (iz == 0) & zf_dev
+            zl = (iz == nzs - 1) & zl_dev
+            yf, yl = iy == 0, iy == nys - 1
+            v2 = jnp.repeat(vs[slot], 2, axis=0)
+            v2 = jnp.repeat(v2, 2, axis=1)
+            vf = _lane_double3(v2, ev[:])
+            if kind == "bilinear":
+                # zero stale-scratch ghosts only at GLOBAL edges — at
+                # device-interior z edges the halo holds valid strip
+                # data the blend must read (seamless across shards)
+                zi = jax.lax.broadcasted_iota(jnp.int32,
+                                              (vf.shape[0], 1, 1), 0)
+                yi = jax.lax.broadcasted_iota(jnp.int32,
+                                              (1, vf.shape[1], 1), 1)
+                vf = jnp.where(zf & (zi < 2 * chz), 0.0, vf)
+                vf = jnp.where(zl & (zi >= bz + 2 * chz), 0.0, vf)
+                vf = jnp.where(yf & (yi < 2 * chy), 0.0, vf)
+                vf = jnp.where(yl & (yi >= by + 2 * chy), 0.0, vf)
+                vf = _trilinear_blend_3d(
+                    vf,
+                    pos=((2 * chz, bz + 2 * chz - 1),
+                         (2 * chy, by + 2 * chy - 1),
+                         (0, nx - 1)),
+                    flags=((zf, zl), (yf, yl), (True, True)))
+            vf = vf[2 * chz - hz:2 * chz - hz + Rz,
+                    2 * chy - hy:2 * chy - hy + Ry, :]
+
+            uv = us[slot] + vf
+            uv = _sweeps3(uv, fs[slot], nu, smoother, bc, hsq,
+                          hz, bz, hy, by, zf, zl, yf, yl)
+
+            if rnorm:
+                uv = _apply_bc_3d(uv, bc, zf, zl, yf, yl, hz, bz, hy, by)
+                rv = (fs[slot] - (_nbr3(uv, bc) - 6.0 * uv)
+                      * jnp.asarray(inv_hsq, dtype))[hz:hz + bz,
+                                                     hy:hy + by, :]
+                rv = rv.astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
+            @pl.when(b >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bz), pl.ds(0, by)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = uv[hz:hz + bz, hy:hy + by, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(iz * bz, bz),
+                           pl.ds(pl.multiple_of(iy * by, 8), by)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for k in (n_blocks - 2, n_blocks - 1):
+            if k < 0:
+                continue
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds((k // nys) * bz, bz),
+                           pl.ds((k % nys) * by, by)],
+                out_sems.at[slot]).wait()
+
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((nzl, ny, nx), dtype)
+    scratch = [
+        pltpu.VMEM((2, Rz, Ry, nx), dtype),
+        pltpu.VMEM((2, Rz, Ry, nx), dtype),
+        pltpu.VMEM((2, Rcz, Rcy, nx // 2), dtype),
+        pltpu.VMEM(emat_in.shape, dtype),
+        pltpu.VMEM((2, bz, by, nx), dtype),
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((2, 3, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, by, nx), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, by, nx), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in)
+
+
+def smooth_rr_sharded3(u, f, ustrips, fstrips, flags, h, nu,
+                       smoother="jacobi", bc="ghost0", *, plan):
+    """3D per-shard fused pre-smooth + residual + restrict.
+    ustrips/fstrips = (top, bottom) z-slab strips of shape
+    (plan[0], ny, nx); flags = (4,) int32 (only [z_first, z_last] are
+    consulted — y and x are local axes)."""
+    hz, bz, by, _ = plan
+    pmat = _halve_mat(u.shape[2], u.dtype)
+    return _rr_sharded_3d(u, f, *ustrips, *fstrips, flags, pmat,
+                          h=float(h), nu=nu, smoother=smoother, bc=bc,
+                          interpret=_interpret(), hz=hz, bz=bz, by=by)
+
+
+def pc_smooth_sharded3(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
+                       smoother="jacobi", bc="ghost0", kind="inject",
+                       *, plan, rnorm=False):
+    """3D per-shard fused prolong + correct + post-smooth.  vstrips
+    are COARSE z-slab strips at depth plan[3] (= (hz+3)//2); rnorm=True
+    also returns the (1, by, nx) f32 local residual-square partial."""
+    hz, bz, by, chz = plan
+    emat = _double_mat(u.shape[2], u.dtype)
+    return _pc_sharded_3d(u, f, V, *ustrips, *fstrips, *vstrips, flags,
+                          emat, h=float(h), nu=nu, smoother=smoother,
+                          bc=bc, kind=kind, interpret=_interpret(),
+                          hz=hz, bz=bz, by=by, chz=chz, rnorm=rnorm)
+
+
+# ---------------------------------------------------------------------
 # residual_restrict / prolong_correct (unfused): XLA formulations are
 # already on native paths (reduce_window restrict + repeat
 # prolongation); Mosaic lacks the lane interleave a fully fused kernel

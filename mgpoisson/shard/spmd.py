@@ -54,10 +54,12 @@ from mgpoisson.kernels import xla
 
 
 def _pallas_enabled(spec) -> bool:
-    """Per-shard Pallas strip kernels: on for 2D under backend 'auto'
-    (TPU) or 'pallas' (forced — interpret-mode tests set the
-    MGPOISSON_PALLAS_INTERPRET env and force the backend on CPU)."""
-    if spec.ndim != 2 or spec.backend == "xla":
+    """Per-shard Pallas strip kernels: on for 2D (any mesh) and 3D
+    (z-sharded, i.e. single-device-column meshes — gated per level in
+    level_plan) under backend 'auto' (TPU) or 'pallas' (forced —
+    interpret-mode tests set the MGPOISSON_PALLAS_INTERPRET env and
+    force the backend on CPU)."""
+    if spec.ndim not in (2, 3) or spec.backend == "xla":
         return False
     if spec.smoother_resolved not in ("jacobi", "wjacobi", "rbgs"):
         return False
@@ -374,6 +376,12 @@ def _build_parts(spec, mesh):
         if not pallas_on:
             return None
         from mgpoisson.kernels import pallas as pk
+        if ndim == 3:
+            # 3D strip kernels cover z-sharded (single-device-column)
+            # meshes only; (a, b>1) meshes stay on the XLA shard path
+            if col_nbrs:
+                return None
+            return pk.sharded_plan3(shape, nu_plan, smoother, dtype)
         return pk.sharded_plan(shape, nu_plan, smoother, dtype,
                                col_nbrs=col_nbrs)
 
@@ -381,9 +389,12 @@ def _build_parts(spec, mesh):
         """(top, bot, left, right) ppermute halo strips for local 2D
         block a: rows `depth` deep, columns 128 lanes wide (the strip
         kernels' lane-aligned DMA granularity), corners carried.
-        left/right are None on a single-device-column mesh."""
+        left/right are None on a single-device-column mesh; 3D blocks
+        (z-sharded only) get just the (top, bot) z-slab pair."""
         top = shift(_lines(a, 0, "hi", depth), "x", +1)
         bot = shift(_lines(a, 0, "lo", depth), "x", -1)
+        if a.ndim == 3:
+            return top, bot
         if not col_nbrs:
             return top, bot, None, None
         # edge columns of the row-extended block, WITHOUT materializing
@@ -427,18 +438,23 @@ def _build_parts(spec, mesh):
         if plan is not None:
             from mgpoisson.kernels import pallas as pk
             h8 = plan[0]
+            cdepth = plan[3] if ndim == 3 else 8
+            rr = pk.smooth_rr_sharded3 if ndim == 3 \
+                else pk.smooth_rr_sharded
+            pc = pk.pc_smooth_sharded3 if ndim == 3 \
+                else pk.pc_smooth_sharded
             fl = edge_flags()
             fstrips = strips(f, h8)       # f is level-invariant: once
             ustrips = strips(u, h8)
-            u, R = pk.smooth_rr_sharded(
+            u, R = rr(
                 u, f, ustrips, fstrips, fl, h, spec.nu_pre, smoother,
                 bc, plan=plan)
             V = jnp.zeros_like(R)
             for _ in range(gamma):
                 V = cycle(V, R, 2 * h, global_size // 2, False)
-            vstrips = strips(V, 8)        # coarse exchange depth
+            vstrips = strips(V, cdepth)   # coarse exchange depth
             ustrips = strips(u, h8)       # u changed: re-exchange
-            out = pk.pc_smooth_sharded(
+            out = pc(
                 u, f, V, ustrips, fstrips, vstrips, fl, h,
                 spec.nu_post, smoother, bc, spec.prolong_kind,
                 plan=plan, rnorm=want_r2)

@@ -315,15 +315,18 @@ def test_spmd_pallas_residual_stop_single_column_mesh():
 
 
 def test_spmd_pallas_gating():
-    """3D / f64 / gs_lex specs never take the per-shard Pallas path."""
+    """xla-backend / f64 / gs_lex specs never take the per-shard Pallas
+    path; 3D is enabled but fenced per level to z-sharded meshes."""
     from mgpoisson.shard.spmd import _pallas_enabled
     from mgpoisson import Spec
 
-    assert not _pallas_enabled(Spec(size=64, ndim=3, backend="pallas",
-                                    mesh_shape=(2, 2), partition="spmd"))
+    assert _pallas_enabled(Spec(size=64, ndim=3, backend="pallas",
+                                mesh_shape=(2, 2), partition="spmd"))
     assert not _pallas_enabled(Spec(size=64, backend="xla",
                                     mesh_shape=(2, 2), partition="spmd"))
     assert _pallas_enabled(Spec(size=64, backend="pallas",
                                 mesh_shape=(2, 2), partition="spmd"))
     # f64 is fenced by sharded_plan's dtype gate, not _pallas_enabled
     assert pk.sharded_plan((256, 256), 3, "wjacobi", jnp.float64) is None
+    assert pk.sharded_plan3((64, 256, 256), 3, "wjacobi",
+                            jnp.float64) is None
