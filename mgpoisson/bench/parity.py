@@ -237,6 +237,25 @@ def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
             vslab = jnp.zeros((chz3, n3 // 2, n3 // 2), jnp.float32)
             vstrips3 = (vslab, vslab)
             fl3 = jnp.ones((4,), jnp.int32)
+            # y-sharded variant: z-extended y-edge strips (zero fill =
+            # the (1,1) layout where every edge is global)
+            ystr = jnp.zeros((n3 + 2 * hz3, 8, n3), jnp.float32)
+            strips3y = (zslab, zslab, ystr, ystr)
+            vystr = jnp.zeros((n3 // 2 + 2 * chz3, 8, n3 // 2),
+                              jnp.float32)
+            vstrips3y = (vslab, vslab, vystr, vystr)
+            add("shard_rr3d_ysplit_f32",
+                lambda: pk.smooth_rr_sharded3(
+                    u3, f3, strips3y, strips3y, fl3, h3, 3, "wjacobi",
+                    "ghost0", plan=plan3),
+                lambda: xla.smooth_residual_restrict(
+                    u3, f3, h3, 3, "wjacobi", "ghost0"))
+            add("shard_pc3d_ysplit_f32",
+                lambda: pk.pc_smooth_sharded3(
+                    u3, f3, V3, strips3y, strips3y, vstrips3y, fl3, h3,
+                    3, "wjacobi", "ghost0", "bilinear", plan=plan3),
+                lambda: xla.prolong_correct_smooth(
+                    u3, f3, V3, h3, 3, "wjacobi", "ghost0", "bilinear"))
             add("shard_rr3d_f32",
                 lambda: pk.smooth_rr_sharded3(
                     u3, f3, strips3, strips3, fl3, h3, 3, "wjacobi",

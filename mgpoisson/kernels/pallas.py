@@ -2847,11 +2847,15 @@ def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
 # split y fall back to the XLA shard path (mgpoisson/shard/spmd.py).
 
 
-def sharded_plan3(shape, nu, smoother, dtype):
-    """(hz, bz, by, chz) block geometry for the 3D z-sharded strip
-    kernels, or None.  shape: the LOCAL block (nzl, ny, nx) — z is the
-    device-sharded axis.  hz is both the in-kernel z halo and the
-    strip exchange depth for u/f; chz the coarse (V) exchange depth."""
+def sharded_plan3(shape, nu, smoother, dtype, y_nbrs=False):
+    """(hz, bz, by, chz) block geometry for the 3D sharded strip
+    kernels, or None.  shape: the LOCAL block (nzl, ny, nx) — z is
+    device-sharded; with y_nbrs the y axis is device-sharded too (the
+    (a, b>1) mesh) and the kernels take additional y-edge strips at the
+    fixed in-kernel y halo depth 8 (fine) / 8 (coarse), z-extended so
+    the sequential per-axis exchange carries the corners.  hz is both
+    the in-kernel z halo and the strip exchange depth for u/f; chz the
+    coarse (V) exchange depth."""
     if len(shape) != 3 or nu < 1:
         return None
     if smoother not in ("jacobi", "wjacobi", "rbgs"):
@@ -2876,16 +2880,22 @@ def sharded_plan3(shape, nu, smoother, dtype):
 
 
 def _strip_block_in_3d(op, body, top, bot, vref, sems, iz, iy, slot,
-                       bz, hz, nzs, by, hy, nys):
+                       bz, hz, nzs, by, hy, nys, front=None, back=None):
     """Start/wait the DMAs assembling (z, y) block (iz, iy) of body +
-    z-neighbor strips into vref[slot] of shape (bz+2*hz, by+2*hy, nx).
+    neighbor strips into vref[slot] of shape (bz+2*hz, by+2*hy, nx).
     z is device-sharded: the halo outside the local array comes from
     `top`/`bot` strips of shape (hz, ny, nx) (real neighbor planes or
-    the collective's zero fill at global edges — never stale); y is
-    local: clipped windows whose stale edge scratch the in-kernel bc
-    fixups overwrite.  sems: a (3,) semaphore slice (body, head,
-    tail); exactly one DMA fires per semaphore per block."""
+    the collective's zero fill at global edges — never stale).  y is
+    local when front/back are None (clipped windows whose stale edge
+    scratch the in-kernel bc fixups overwrite); on a y-sharded mesh
+    front/back are z-EXTENDED y-edge strips of shape
+    (nzl + 2*hz, hy, nx) — their z-extension rows hold the y-neighbor's
+    z halo, i.e. the diagonal-device corners, so the full
+    [iz*bz, iz*bz + Rz) window is always valid.  sems: a (5,)
+    semaphore slice (body, z-head, z-tail, y-front, y-back); at most
+    one DMA fires per semaphore per block."""
     Rz = bz + 2 * hz
+    Ry = by + 2 * hy
     ycases = _axis_cases(iy, by, hy, nys)
 
     def dma(src, z_dst, cols_dst, sem):
@@ -2915,19 +2925,41 @@ def _strip_block_in_3d(op, body, top, bot, vref, sems, iz, iy, slot,
 
         pl.when(cond)(tail)
 
+    if front is None:
+        return
+
+    # y front/back rows from the y-neighbor strips: the full extended
+    # z window [iz*bz, iz*bz + Rz) in strip coords (strip z origin is
+    # local z = -hz), valid for every iz including the z edges
+    def yfront():
+        dma(front.at[pl.ds(iz * bz, Rz), pl.ds(0, hy)],
+            pl.ds(0, Rz), pl.ds(0, hy), sems.at[3])
+
+    pl.when(iy == 0)(yfront)
+
+    def yback():
+        dma(back.at[pl.ds(iz * bz, Rz), pl.ds(0, hy)],
+            pl.ds(0, Rz), pl.ds(Ry - hy, hy), sems.at[4])
+
+    pl.when(iy == nys - 1)(yback)
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "interpret",
-                     "hz", "bz", "by"))
-def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
+                     "hz", "bz", "by", "ycols"))
+def _rr_sharded_3d(u, f, *strip_args, h: float,
                    nu: int, smoother: str, bc: str, interpret: bool,
-                   hz: int, bz: int, by: int):
+                   hz: int, bz: int, by: int, ycols: bool = False):
     """Per-shard 3D fused pre-smooth x nu + residual + restrict on a
-    local (nzl, ny, nx) block with pre-exchanged z-slab strips.
-    Returns (u_center, R).  Mirrors _rr_fused_3d; only the z edges
-    differ: halo planes come from strips, and the z bc fixups fire
-    only on devices holding a global z edge (flags[0]/flags[1])."""
+    local (nzl, ny, nx) block with pre-exchanged z-slab strips (and,
+    when ycols, z-extended y-edge strips — the (a, b>1) mesh).
+    Returns (u_center, R).  Mirrors _rr_fused_3d; only the sharded
+    edges differ: halo planes come from strips, and the bc fixups fire
+    only on devices holding a global edge (flags[0..3]).
+
+    strip_args: (ut, ub, ft, fb, flags, pmat) or with ycols
+    (ut, ub, uyf, uyb, ft, fb, fyf, fyb, flags, pmat)."""
     nzl, ny, nx = u.shape
     dtype = u.dtype
     hy = 8
@@ -2937,11 +2969,20 @@ def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
     hsq = h * h
     inv_hsq = 1.0 / hsq
 
-    def kernel(u_hbm, f_hbm, ut_h, ub_h, ft_h, fb_h, flags_ref, p_hbm,
-               out_hbm, rout_hbm, us, fs, pv, outs, routs,
-               in_sems, out_sems, rout_sems, p_sem):
+    def kernel(*args):
+        if ycols:
+            (u_hbm, f_hbm, ut_h, ub_h, uyf_h, uyb_h, ft_h, fb_h, fyf_h,
+             fyb_h, flags_ref, p_hbm, out_hbm, rout_hbm, us, fs, pv,
+             outs, routs, in_sems, out_sems, rout_sems, p_sem) = args
+        else:
+            (u_hbm, f_hbm, ut_h, ub_h, ft_h, fb_h, flags_ref, p_hbm,
+             out_hbm, rout_hbm, us, fs, pv, outs, routs,
+             in_sems, out_sems, rout_sems, p_sem) = args
+            uyf_h = uyb_h = fyf_h = fyb_h = None
         zf_dev = flags_ref[0] == 1
         zl_dev = flags_ref[1] == 1
+        yf_dev = flags_ref[2] == 1 if ycols else True
+        yl_dev = flags_ref[3] == 1 if ycols else True
         pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
         pdma.start()
 
@@ -2949,10 +2990,12 @@ def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
             iz, iy = b // nys, jax.lax.rem(b, nys)
             _strip_block_in_3d(op, u_hbm, ut_h, ub_h, us,
                                in_sems.at[slot, 0], iz, iy, slot,
-                               bz, hz, nzs, by, hy, nys)
+                               bz, hz, nzs, by, hy, nys,
+                               front=uyf_h, back=uyb_h)
             _strip_block_in_3d(op, f_hbm, ft_h, fb_h, fs,
                                in_sems.at[slot, 1], iz, iy, slot,
-                               bz, hz, nzs, by, hy, nys)
+                               bz, hz, nzs, by, hy, nys,
+                               front=fyf_h, back=fyb_h)
 
         issue(0, 0, "start")
         pdma.wait()
@@ -2969,7 +3012,8 @@ def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
 
             zf = (iz == 0) & zf_dev
             zl = (iz == nzs - 1) & zl_dev
-            yf, yl = iy == 0, iy == nys - 1
+            yf = (iy == 0) & yf_dev
+            yl = (iy == nys - 1) & yl_dev
             uv = _sweeps3(us[slot], fs[slot], nu, smoother, bc, hsq,
                           hz, bz, hy, by, zf, zl, yf, yl)
             # ghosts must hold boundary data for the residual reads
@@ -3024,13 +3068,14 @@ def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
                             pl.ds(iy * (by // 2), by // 2)],
                 rout_sems.at[slot]).wait()
 
-    pmat_shape = pmat_in.shape
+    pmat_shape = strip_args[-1].shape
+    n_strips = 8 if ycols else 4
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((nzl, ny, nx), dtype),
                    jax.ShapeDtypeStruct((nzl // 2, ny // 2, nx // 2),
                                         dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 + n_strips)
         + [pl.BlockSpec(memory_space=pltpu.SMEM),
            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
@@ -3041,28 +3086,33 @@ def _rr_sharded_3d(u, f, ut, ub, ft, fb, flags, pmat_in, *, h: float,
             pltpu.VMEM(pmat_shape, dtype),
             pltpu.VMEM((2, bz, by, nx), dtype),
             pltpu.VMEM((2, bz // 2, by // 2, nx // 2), dtype),
-            pltpu.SemaphoreType.DMA((2, 2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2, 5)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(u, f, ut, ub, ft, fb, flags, pmat_in)
+    )(u, f, *strip_args)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
-                     "hz", "bz", "by", "chz", "rnorm"))
-def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
+                     "hz", "bz", "by", "chz", "rnorm", "ycols"))
+def _pc_sharded_3d(u, f, V, *strip_args,
                    h: float, nu: int, smoother: str, bc: str, kind: str,
                    interpret: bool, hz: int, bz: int, by: int, chz: int,
-                   rnorm: bool = False):
+                   rnorm: bool = False, ycols: bool = False):
     """Per-shard 3D fused u += P(V) + post-smooth x nu with
     pre-exchanged z strips for u, f (depth hz) and V (coarse, depth
-    chz).  Mirrors _pc_fused_3d; rnorm adds a (1, by, nx) f32 local
-    residual-square partial slab (free stop='residual')."""
+    chz), plus z-extended y-edge strips when ycols (the (a, b>1)
+    mesh).  Mirrors _pc_fused_3d; rnorm adds a (1, by, nx) f32 local
+    residual-square partial slab (free stop='residual').
+
+    strip_args: (ut, ub, ft, fb, vt, vb, flags, emat) or with ycols
+    (ut, ub, uyf, uyb, ft, fb, fyf, fyb, vt, vb, vyf, vyb, flags,
+    emat)."""
     nzl, ny, nx = u.shape
     dtype = u.dtype
     hy = 8
@@ -3075,8 +3125,15 @@ def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
     inv_hsq = 1.0 / hsq
     assert hz <= 14 and chz <= bz // 2 and chy <= by // 2
 
-    def kernel(u_hbm, f_hbm, v_hbm, ut_h, ub_h, ft_h, fb_h, vt_h, vb_h,
-               flags_ref, e_hbm, out_hbm, *rest):
+    def kernel(*args):
+        if ycols:
+            (u_hbm, f_hbm, v_hbm, ut_h, ub_h, uyf_h, uyb_h, ft_h, fb_h,
+             fyf_h, fyb_h, vt_h, vb_h, vyf_h, vyb_h, flags_ref, e_hbm,
+             out_hbm, *rest) = args
+        else:
+            (u_hbm, f_hbm, v_hbm, ut_h, ub_h, ft_h, fb_h, vt_h, vb_h,
+             flags_ref, e_hbm, out_hbm, *rest) = args
+            uyf_h = uyb_h = fyf_h = fyb_h = vyf_h = vyb_h = None
         if rnorm:
             (racc_hbm, us, fs, vs, ev, outs, racc,
              in_sems, out_sems, e_sem, r_sem) = rest
@@ -3085,6 +3142,8 @@ def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
             us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
         zf_dev = flags_ref[0] == 1
         zl_dev = flags_ref[1] == 1
+        yf_dev = flags_ref[2] == 1 if ycols else True
+        yl_dev = flags_ref[3] == 1 if ycols else True
         edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
         edma.start()
 
@@ -3092,13 +3151,16 @@ def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
             iz, iy = b // nys, jax.lax.rem(b, nys)
             _strip_block_in_3d(op, u_hbm, ut_h, ub_h, us,
                                in_sems.at[slot, 0], iz, iy, slot,
-                               bz, hz, nzs, by, hy, nys)
+                               bz, hz, nzs, by, hy, nys,
+                               front=uyf_h, back=uyb_h)
             _strip_block_in_3d(op, f_hbm, ft_h, fb_h, fs,
                                in_sems.at[slot, 1], iz, iy, slot,
-                               bz, hz, nzs, by, hy, nys)
+                               bz, hz, nzs, by, hy, nys,
+                               front=fyf_h, back=fyb_h)
             _strip_block_in_3d(op, v_hbm, vt_h, vb_h, vs,
                                in_sems.at[slot, 2], iz, iy, slot,
-                               bz // 2, chz, nzs, by // 2, chy, nys)
+                               bz // 2, chz, nzs, by // 2, chy, nys,
+                               front=vyf_h, back=vyb_h)
 
         issue(0, 0, "start")
         edma.wait()
@@ -3115,7 +3177,8 @@ def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
 
             zf = (iz == 0) & zf_dev
             zl = (iz == nzs - 1) & zl_dev
-            yf, yl = iy == 0, iy == nys - 1
+            yf = (iy == 0) & yf_dev
+            yl = (iy == nys - 1) & yl_dev
             v2 = jnp.repeat(vs[slot], 2, axis=0)
             v2 = jnp.repeat(v2, 2, axis=1)
             vf = _lane_double3(v2, ev[:])
@@ -3189,11 +3252,11 @@ def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
         pltpu.VMEM((2, Rz, Ry, nx), dtype),
         pltpu.VMEM((2, Rz, Ry, nx), dtype),
         pltpu.VMEM((2, Rcz, Rcy, nx // 2), dtype),
-        pltpu.VMEM(emat_in.shape, dtype),
+        pltpu.VMEM(strip_args[-1].shape, dtype),
         pltpu.VMEM((2, bz, by, nx), dtype),
     ]
     sems = [
-        pltpu.SemaphoreType.DMA((2, 3, 3)),
+        pltpu.SemaphoreType.DMA((2, 3, 5)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA(()),
     ]
@@ -3206,44 +3269,56 @@ def _pc_sharded_3d(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in, *,
                      pl.BlockSpec(memory_space=pl.ANY))
     else:
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    n_strips = 12 if ycols else 6
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 + n_strips)
         + [pl.BlockSpec(memory_space=pltpu.SMEM),
            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         scratch_shapes=scratch + sems,
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(u, f, V, ut, ub, ft, fb, vt, vb, flags, emat_in)
+    )(u, f, V, *strip_args)
 
 
 def smooth_rr_sharded3(u, f, ustrips, fstrips, flags, h, nu,
                        smoother="jacobi", bc="ghost0", *, plan):
     """3D per-shard fused pre-smooth + residual + restrict.
     ustrips/fstrips = (top, bottom) z-slab strips of shape
-    (plan[0], ny, nx); flags = (4,) int32 (only [z_first, z_last] are
-    consulted — y and x are local axes)."""
+    (plan[0], ny, nx) — z-sharded-only mesh — or (top, bottom, front,
+    back) with z-EXTENDED y-edge strips of shape (nzl + 2*plan[0], 8,
+    nx) on a y-sharded mesh; flags = (4,) int32
+    [z_first, z_last, y_first, y_last]."""
     hz, bz, by, _ = plan
     pmat = _halve_mat(u.shape[2], u.dtype)
-    return _rr_sharded_3d(u, f, *ustrips, *fstrips, flags, pmat,
+    ycols = len(ustrips) > 2 and ustrips[2] is not None
+    return _rr_sharded_3d(u, f, *ustrips[:2 + 2 * ycols],
+                          *fstrips[:2 + 2 * ycols], flags, pmat,
                           h=float(h), nu=nu, smoother=smoother, bc=bc,
-                          interpret=_interpret(), hz=hz, bz=bz, by=by)
+                          interpret=_interpret(), hz=hz, bz=bz, by=by,
+                          ycols=ycols)
 
 
 def pc_smooth_sharded3(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
                        smoother="jacobi", bc="ghost0", kind="inject",
                        *, plan, rnorm=False):
     """3D per-shard fused prolong + correct + post-smooth.  vstrips
-    are COARSE z-slab strips at depth plan[3] (= (hz+3)//2); rnorm=True
-    also returns the (1, by, nx) f32 local residual-square partial."""
+    are COARSE z-slab strips at depth plan[3] (= (hz+3)//2), with
+    z-extended coarse y-edge strips of depth 8 appended on a y-sharded
+    mesh (see smooth_rr_sharded3); rnorm=True also returns the
+    (1, by, nx) f32 local residual-square partial."""
     hz, bz, by, chz = plan
     emat = _double_mat(u.shape[2], u.dtype)
-    return _pc_sharded_3d(u, f, V, *ustrips, *fstrips, *vstrips, flags,
+    ycols = len(ustrips) > 2 and ustrips[2] is not None
+    k = 2 + 2 * ycols
+    return _pc_sharded_3d(u, f, V, *ustrips[:k], *fstrips[:k],
+                          *vstrips[:k], flags,
                           emat, h=float(h), nu=nu, smoother=smoother,
                           bc=bc, kind=kind, interpret=_interpret(),
-                          hz=hz, bz=bz, by=by, chz=chz, rnorm=rnorm)
+                          hz=hz, bz=bz, by=by, chz=chz, rnorm=rnorm,
+                          ycols=ycols)
 
 
 # ---------------------------------------------------------------------

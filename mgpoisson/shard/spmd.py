@@ -54,11 +54,10 @@ from mgpoisson.kernels import xla
 
 
 def _pallas_enabled(spec) -> bool:
-    """Per-shard Pallas strip kernels: on for 2D (any mesh) and 3D
-    (z-sharded, i.e. single-device-column meshes — gated per level in
-    level_plan) under backend 'auto' (TPU) or 'pallas' (forced —
-    interpret-mode tests set the MGPOISSON_PALLAS_INTERPRET env and
-    force the backend on CPU)."""
+    """Per-shard Pallas strip kernels: on for 2D and 3D on any mesh
+    under backend 'auto' (TPU) or 'pallas' (forced — interpret-mode
+    tests set the MGPOISSON_PALLAS_INTERPRET env and force the backend
+    on CPU)."""
     if spec.ndim not in (2, 3) or spec.backend == "xla":
         return False
     if spec.smoother_resolved not in ("jacobi", "wjacobi", "rbgs"):
@@ -377,24 +376,32 @@ def _build_parts(spec, mesh):
             return None
         from mgpoisson.kernels import pallas as pk
         if ndim == 3:
-            # 3D strip kernels cover z-sharded (single-device-column)
-            # meshes only; (a, b>1) meshes stay on the XLA shard path
-            if col_nbrs:
-                return None
-            return pk.sharded_plan3(shape, nu_plan, smoother, dtype)
+            return pk.sharded_plan3(shape, nu_plan, smoother, dtype,
+                                    y_nbrs=col_nbrs)
         return pk.sharded_plan(shape, nu_plan, smoother, dtype,
                                col_nbrs=col_nbrs)
 
     def strips(a, depth):
-        """(top, bot, left, right) ppermute halo strips for local 2D
-        block a: rows `depth` deep, columns 128 lanes wide (the strip
-        kernels' lane-aligned DMA granularity), corners carried.
-        left/right are None on a single-device-column mesh; 3D blocks
-        (z-sharded only) get just the (top, bot) z-slab pair."""
+        """(top, bot, left, right) ppermute halo strips for local
+        block a: 'x'-axis strips `depth` deep; 'y'-axis strips 128
+        lanes wide in 2D (the strip kernels' lane-aligned DMA
+        granularity) / 8 sublanes deep in 3D (the kernels' fixed y
+        halo), extended along the first axis so the sequential
+        per-axis exchange carries the corners.  left/right are None on
+        a single-device-column mesh."""
         top = shift(_lines(a, 0, "hi", depth), "x", +1)
         bot = shift(_lines(a, 0, "lo", depth), "x", -1)
         if a.ndim == 3:
-            return top, bot
+            if not col_nbrs:
+                return top, bot, None, None
+            # y-edge slices of the z-extended block (only the 8-deep
+            # edges are read, never the full concatenation)
+            fcol = jnp.concatenate(
+                [top[:, -8:], a[:, -8:], bot[:, -8:]], axis=0)
+            bcol = jnp.concatenate(
+                [top[:, :8], a[:, :8], bot[:, :8]], axis=0)
+            return (top, bot, shift(fcol, "y", +1),
+                    shift(bcol, "y", -1))
         if not col_nbrs:
             return top, bot, None, None
         # edge columns of the row-extended block, WITHOUT materializing

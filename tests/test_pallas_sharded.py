@@ -316,7 +316,8 @@ def test_spmd_pallas_residual_stop_single_column_mesh():
 
 def test_spmd_pallas_gating():
     """xla-backend / f64 / gs_lex specs never take the per-shard Pallas
-    path; 3D is enabled but fenced per level to z-sharded meshes."""
+    path; 2D and 3D are enabled on any mesh (fenced per level by the
+    plan geometry gates)."""
     from mgpoisson.shard.spmd import _pallas_enabled
     from mgpoisson import Spec
 

@@ -112,6 +112,112 @@ def test_pc_sharded3_matches_xla(kind, smoother, nu, bc):
         np.sqrt(r2), float(jnp.sqrt(jnp.sum(r_ref * r_ref))), rtol=1e-4)
 
 
+def _yzshard(G, i0, pz, j0, py, hz, hy=8):
+    """(front, back) z-EXTENDED y-edge strips for shard (i0, j0) of G,
+    exactly as the SPMD layer's sequential z-then-y ppermute exchange
+    delivers them: the y-neighbor's 8-deep y edge over the shard's
+    extended z window, zeros past any global boundary."""
+    nzl, nyl = G.shape[0] // pz, G.shape[1] // py
+    Gp = jnp.pad(G, ((hz, hz), (hy, hy), (0, 0)))
+    z0 = i0 * nzl           # padded-coord start of the extended window
+    yf = j0 * nyl           # padded y of the front strip [y0-hy, y0)
+    yb = hy + (j0 + 1) * nyl
+    return (Gp[z0:z0 + nzl + 2 * hz, yf:yf + hy],
+            Gp[z0:z0 + nzl + 2 * hz, yb:yb + hy])
+
+
+def _yzflags(i0, pz, j0, py):
+    return jnp.asarray([i0 == 0, i0 == pz - 1, j0 == 0, j0 == py - 1],
+                       jnp.int32)
+
+
+@pytest.mark.parametrize("smoother,nu,bc", [("wjacobi", 3, "ghost0"),
+                                            ("rbgs", 2, "face")])
+def test_rr_sharded3_ysplit_matches_xla(smoother, nu, bc):
+    """(2, 2) z+y-sharded mesh: all four shards run the strip kernel
+    with z-slab AND z-extended y-edge strips; reassembly matches the
+    unsharded composite.  by=32 < nyl=64 also exercises interior-y
+    blocks next to strip-fed edge blocks."""
+    nz, ny, nx, pz, py = 32, 128, 256, 2, 2
+    nzl, nyl = nz // pz, ny // py
+    u, f = _data((nz, ny, nx), seed=5)
+    h = 1.0 / ny
+    hz = (2 if smoother == "rbgs" else 1) * nu + 1
+    plan = (hz, 8, 32, (hz + 3) // 2)
+
+    u_ref, R_ref = xla.smooth_residual_restrict(u, f, h, nu, smoother, bc)
+
+    u_out = np.zeros((nz, ny, nx), np.float32)
+    R_out = np.zeros((nz // 2, ny // 2, nx // 2), np.float32)
+    for i0 in range(pz):
+        for j0 in range(py):
+            zs, ys = slice(i0 * nzl, (i0 + 1) * nzl), \
+                slice(j0 * nyl, (j0 + 1) * nyl)
+            ub, fb = u[zs, ys], f[zs, ys]
+            ustr = (_zstrips(u[:, ys], i0, pz, nzl, hz)
+                    + _yzshard(u, i0, pz, j0, py, hz))
+            fstr = (_zstrips(f[:, ys], i0, pz, nzl, hz)
+                    + _yzshard(f, i0, pz, j0, py, hz))
+            ug, Rg = pk.smooth_rr_sharded3(
+                ub, fb, ustr, fstr, _yzflags(i0, pz, j0, py), h, nu,
+                smoother, bc, plan=plan)
+            u_out[zs, ys] = ug
+            R_out[i0 * nzl // 2:(i0 + 1) * nzl // 2,
+                  j0 * nyl // 2:(j0 + 1) * nyl // 2] = Rg
+
+    np.testing.assert_allclose(u_out, np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    scale = float(jnp.max(jnp.abs(R_ref)))
+    np.testing.assert_allclose(R_out / scale, np.asarray(R_ref) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", ["inject", "bilinear"])
+def test_pc_sharded3_ysplit_matches_xla(kind):
+    """(2, 2)-sharded prolong+correct+smooth with coarse y strips; the
+    bilinear blend must read seamlessly across device-interior y edges
+    and zero only at the global ones."""
+    smoother, nu, bc = "wjacobi", 2, "ghost0"
+    nz, ny, nx, pz, py = 32, 128, 256, 2, 2
+    nzl, nyl = nz // pz, ny // py
+    u, f = _data((nz, ny, nx), seed=7)
+    rng = np.random.default_rng(8)
+    V = jnp.asarray(rng.normal(size=(nz // 2, ny // 2, nx // 2)),
+                    jnp.float32)
+    h = 1.0 / ny
+    hz = nu + 1
+    chz = (hz + 3) // 2
+    plan = (hz, 8, 32, chz)
+
+    ref = xla.prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
+    r_ref = xla.residual(ref, f, h, bc)
+
+    got = np.zeros((nz, ny, nx), np.float32)
+    r2 = 0.0
+    for i0 in range(pz):
+        for j0 in range(py):
+            zs, ys = slice(i0 * nzl, (i0 + 1) * nzl), \
+                slice(j0 * nyl, (j0 + 1) * nyl)
+            csz = slice(i0 * nzl // 2, (i0 + 1) * nzl // 2)
+            csy = slice(j0 * nyl // 2, (j0 + 1) * nyl // 2)
+            ustr = (_zstrips(u[:, ys], i0, pz, nzl, hz)
+                    + _yzshard(u, i0, pz, j0, py, hz))
+            fstr = (_zstrips(f[:, ys], i0, pz, nzl, hz)
+                    + _yzshard(f, i0, pz, j0, py, hz))
+            vstr = (_zstrips(V[:, csy], i0, pz, nzl // 2, chz)
+                    + _yzshard(V, i0, pz, j0, py, chz))
+            ug, racc = pk.pc_smooth_sharded3(
+                u[zs, ys], f[zs, ys], V[csz, csy], ustr, fstr, vstr,
+                _yzflags(i0, pz, j0, py), h, nu, smoother, bc, kind,
+                plan=plan, rnorm=True)
+            got[zs, ys] = ug
+            r2 += float(jnp.sum(racc))
+
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.sqrt(r2), float(jnp.sqrt(jnp.sum(r_ref * r_ref))), rtol=1e-4)
+
+
 def test_sharded_plan3_geometry():
     # BASELINE-config-4-like local slab: 256^3 over 4 z-devices
     plan = pk.sharded_plan3((64, 256, 256), 3, "wjacobi", jnp.float32)
@@ -174,9 +280,35 @@ def test_spmd_pallas3d_step_matches_single_device():
     np.testing.assert_allclose(float(errP), float(err1), rtol=1e-3)
 
 
-def test_spmd_pallas3d_y_split_mesh_falls_back():
-    """A 3D mesh that splits y has no 3D strip-kernel plan (the XLA
-    shard path serves it) — and still matches single-device."""
+def test_spmd_pallas3d_zy_mesh_step_matches_single_device():
+    """(2, 2) z+y-sharded 3D mesh: the fine level runs the strip
+    kernels with both z-slab and y-edge strips (the plan exists for
+    the (128, 128, 256) local block); small local blocks fall back to
+    the XLA shard path / replicated handoff."""
+    from mgpoisson import Spec
+
+    spec1 = Spec(size=256, ndim=3, dtype="float32", backend="xla",
+                 scheme="tuned", stop="residual", pre_smooth=1,
+                 post_smooth=1)
+    specP = spec1.with_(mesh_shape=(2, 2), partition="spmd",
+                        backend="pallas")
+    plan = pk.sharded_plan3((128, 128, 256), 1,
+                            spec1.smoother_resolved, jnp.float32,
+                            y_nbrs=True)
+    assert plan is not None
+
+    psi1, err1, psiP, errP = _step_pair(spec1, specP)
+    scale = float(jnp.max(jnp.abs(psi1)))
+    np.testing.assert_allclose(np.asarray(psiP) / scale,
+                               np.asarray(psi1) / scale,
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(float(errP), float(err1), rtol=1e-3)
+
+
+def test_spmd_pallas3d_small_y_split_mesh_falls_back():
+    """A 3D (2,2) mesh at a size whose local nx fails the lane gate
+    has no strip-kernel plan (the XLA shard path serves it) — and
+    still matches single-device."""
     from mgpoisson import Spec
     from mgpoisson.shard.spmd import _pallas_enabled
 
