@@ -218,6 +218,44 @@ def test_pc_sharded3_ysplit_matches_xla(kind):
         np.sqrt(r2), float(jnp.sqrt(jnp.sum(r_ref * r_ref))), rtol=1e-4)
 
 
+def test_rr_sharded3_ysplit_bf16():
+    """bf16 y+z-sharded strips: same reassembly, bf16 tolerances (the
+    per-sweep rounding differences vs the XLA op order compound over
+    nu, so a few e-2 relative is same-precision reorder noise)."""
+    smoother, nu, bc = "wjacobi", 2, "ghost0"
+    nz, ny, nx, pz, py = 32, 128, 256, 2, 2
+    nzl, nyl = nz // pz, ny // py
+    u32, f32 = _data((nz, ny, nx), seed=11)
+    u, f = u32.astype(jnp.bfloat16), f32.astype(jnp.bfloat16)
+    h = 1.0 / ny
+    hz = nu + 1
+    plan = pk.sharded_plan3((nzl, nyl, nx), nu, smoother, jnp.bfloat16,
+                            y_nbrs=True)
+    assert plan is None or plan[0] >= hz   # dtype gate admits bf16
+    plan = (hz, 8, 32, (hz + 3) // 2)
+
+    u_ref, R_ref = xla.smooth_residual_restrict(u, f, h, nu, smoother, bc)
+
+    u_out = np.zeros((nz, ny, nx), np.float32)
+    for i0 in range(pz):
+        for j0 in range(py):
+            zs, ys = slice(i0 * nzl, (i0 + 1) * nzl), \
+                slice(j0 * nyl, (j0 + 1) * nyl)
+            ustr = (_zstrips(u[:, ys], i0, pz, nzl, hz)
+                    + _yzshard(u, i0, pz, j0, py, hz))
+            fstr = (_zstrips(f[:, ys], i0, pz, nzl, hz)
+                    + _yzshard(f, i0, pz, j0, py, hz))
+            ug, _ = pk.smooth_rr_sharded3(
+                u[zs, ys], f[zs, ys], ustr, fstr,
+                _yzflags(i0, pz, j0, py), h, nu, smoother, bc,
+                plan=plan)
+            u_out[zs, ys] = np.asarray(ug, np.float32)
+
+    np.testing.assert_allclose(u_out,
+                               np.asarray(u_ref, dtype=np.float32),
+                               rtol=4e-2, atol=4e-2)
+
+
 def test_sharded_plan3_geometry():
     # BASELINE-config-4-like local slab: 256^3 over 4 z-devices
     plan = pk.sharded_plan3((64, 256, 256), 3, "wjacobi", jnp.float32)
@@ -303,6 +341,28 @@ def test_spmd_pallas3d_zy_mesh_step_matches_single_device():
                                np.asarray(psi1) / scale,
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(float(errP), float(err1), rtol=1e-3)
+
+
+def test_spmd_pallas3d_fmg_init_finite_and_close():
+    """FMG initialization under the (2,2) 3D pallas partition: the
+    sharded fmg_local routes sharded levels through the same strip-
+    kernel cycle(); its init must match the single-device FMG init."""
+    from mgpoisson import Spec, MultigridPoisson
+
+    spec1 = Spec(size=256, ndim=3, dtype="float32", backend="xla",
+                 scheme="tuned", cycle="fmg", pre_smooth=1,
+                 post_smooth=1, maxiter=2)
+    specP = spec1.with_(mesh_shape=(2, 2), partition="spmd",
+                        backend="pallas")
+    mg1 = MultigridPoisson(spec1)
+    mgP = MultigridPoisson(specP)
+    f = mg1.rhs()
+    u0_1 = mg1.init_state(f)
+    u0_P = mgP.init_state(f)
+    scale = float(jnp.max(jnp.abs(u0_1)))
+    np.testing.assert_allclose(np.asarray(u0_P) / scale,
+                               np.asarray(u0_1) / scale,
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_spmd_pallas3d_small_y_split_mesh_falls_back():

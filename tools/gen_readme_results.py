@@ -72,7 +72,8 @@ def render(bench: dict, src_name: str) -> str:
         rows.append((
             "stop=\"residual\" metric overhead per cycle",
             f"{ex['residual_stop_overhead_pct']:.1f} % "
-            "(‖r‖² fused into the up-leg kernel's drain)", "< 3 %"))
+            "(‖r‖² fused into the up-leg kernel's drain)",
+            "one stencil pass — see docs/KERNELS.md"))
     if ex.get("bf16_smoother_phys_gbps") is not None:
         rows.append((
             "bfloat16 smoother sweep",
