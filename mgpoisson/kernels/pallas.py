@@ -2838,13 +2838,16 @@ def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
 
 
 # ---------------------------------------------------------------------
-# 3D per-shard fused strip kernels (z-sharded meshes).  The 3D analog
-# of the 2D section above for the (N, 1) device grid — the natural ICI
-# ring for 3D domains: only the leading (z) axis is device-sharded, so
-# the kernels take z-slab strips (whose DMA offsets are free: z is the
-# untiled axis of the (8, 128) tile) and keep y/x local with the
-# unsharded kernels' in-block clipping + bc fixups.  Meshes that also
-# split y fall back to the XLA shard path (mgpoisson/shard/spmd.py).
+# 3D per-shard fused strip kernels.  The 3D analog of the 2D section
+# above.  On an (N, 1) device grid — the natural ICI ring for 3D
+# domains — only the leading (z) axis is device-sharded: the kernels
+# take z-slab strips (whose DMA offsets are free: z is the untiled
+# axis of the (8, 128) tile) and keep y/x local with the unsharded
+# kernels' in-block clipping + bc fixups.  (a, b>1) meshes also shard
+# y (the sublane axis): the kernels additionally take 8-deep
+# z-EXTENDED y-edge strips whose extension rows carry the diagonal
+# corners, so the y-strip DMA window never clips (see
+# _strip_block_in_3d and docs/KERNELS.md).
 
 
 def sharded_plan3(shape, nu, smoother, dtype, y_nbrs=False):
@@ -2864,6 +2867,12 @@ def sharded_plan3(shape, nu, smoother, dtype, y_nbrs=False):
                                 jnp.dtype(jnp.bfloat16)):
         return None
     nzl, ny, nx = shape
+    # y-sharded meshes exchange 8-deep y-edge strips on the fine AND
+    # the coarse (ny/2) grid: the coarse edge slice needs ny/2 >= 8.
+    # (Unreachable through _plan3d's by >= 32 search, kept as the
+    # explicit floor for direct API callers.)
+    if y_nbrs and ny < 16:
+        return None
     # nx % 256 (not 128): the composite outputs R (lanes nx // 2) and
     # reads V (lanes nx // 2) — their VMEM slices crash Mosaic below
     # 128-lane alignment ("Slice shape along dimension 3 must be

@@ -231,7 +231,7 @@ def test_rr_sharded3_ysplit_bf16():
     hz = nu + 1
     plan = pk.sharded_plan3((nzl, nyl, nx), nu, smoother, jnp.bfloat16,
                             y_nbrs=True)
-    assert plan is None or plan[0] >= hz   # dtype gate admits bf16
+    assert plan is not None and plan[0] >= hz  # dtype gate admits bf16
     plan = (hz, 8, 32, (hz + 3) // 2)
 
     u_ref, R_ref = xla.smooth_residual_restrict(u, f, h, nu, smoother, bc)
