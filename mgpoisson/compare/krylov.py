@@ -92,6 +92,35 @@ def cg(A: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
     return _krylov_common("cg", An, bn, x, tol, maxiter, error_callback)
 
 
+def pcg(A: Callable, b: jax.Array, x0: Optional[jax.Array] = None, *,
+        M: Callable, tol: float = 1e-10, maxiter: int = 10000,
+        error_callback=None) -> KrylovResult:
+    """Preconditioned CG.  M(r) ≈ A⁻¹r must be (near-)symmetric
+    positive definite for the SPD form of A; with
+    `M = mg_preconditioner(spec)` this is MGCG — the natural
+    composition of the two solver families the reference compares
+    (`test/converge-multigrid-vs-krylov.lua`): grid-independent
+    multigrid convergence with CG's robustness margin."""
+    An = lambda u: -A(u)
+    Mn = lambda r: -M(r)    # M approximates A^-1; An = -A
+    x = -b if x0 is None else x0
+    return _krylov_common("pcg", An, -b, x, tol, maxiter,
+                          error_callback, M=Mn)
+
+
+def mg_preconditioner(spec) -> Callable:
+    """One zero-initial-guess multigrid V-cycle as M(r) ≈ A⁻¹r.  Uses
+    symmetric weighted-Jacobi smoothing (same pre/post sweep count) so
+    the preconditioner is symmetric, as CG requires; the caller's
+    scheme/backend/dtype choices are preserved otherwise."""
+    from mgpoisson.cycle.vcycle import make_cycle
+    nu = max(spec.nu_pre, spec.nu_post, 1)
+    pspec = spec.with_(smoother="wjacobi", pre_smooth=nu, post_smooth=nu)
+    cyc = make_cycle(pspec)
+    h = pspec.fine_h
+    return lambda r: cyc(jnp.zeros_like(r), r, h)
+
+
 def conjugate_residual(A, b, x0=None, *, tol=1e-10, maxiter=10000,
                        error_callback=None) -> KrylovResult:
     An = lambda u: -A(u)
@@ -106,13 +135,16 @@ def bicgstab(A, b, x0=None, *, tol=1e-10, maxiter=10000,
                           tol, maxiter, error_callback)
 
 
-def _krylov_common(kind, A, b, x0, tol, maxiter, error_callback):
+def _krylov_common(kind, A, b, x0, tol, maxiter, error_callback, M=None):
     x0 = jnp.asarray(x0)
     b = jnp.asarray(b, x0.dtype)
     bnorm = jnp.sqrt(_dot(b, b))
 
     solve = _LOOPS[kind]
-    x, it, rnorm, hist, xhist = solve(A, b, x0, tol, maxiter)
+    if kind == "pcg":
+        x, it, rnorm, hist, xhist = solve(A, M, b, x0, tol, maxiter)
+    else:
+        x, it, rnorm, hist, xhist = solve(A, b, x0, tol, maxiter)
     it = int(it)
     res = KrylovResult(x=x, iterations=it,
                        converged=bool(rnorm <= tol * bnorm),
@@ -143,6 +175,29 @@ def _cg_loop(A, b, x0, tol, maxiter):
     rnorm0 = jnp.sqrt(_dot(r0, r0))
     (x, *_), it, rnorm, hist, xhist = _run_loop(
         body, (x0, r0, p0, _dot(r0, r0)), maxiter, tol, bnorm, rnorm0)
+    return x, it, rnorm, hist, xhist
+
+
+def _pcg_loop(A, M, b, x0, tol, maxiter):
+    r0 = b - A(x0)
+    z0 = M(r0)
+    p0 = z0
+
+    def body(state):
+        x, r, p, rz = state
+        Ap = A(p)
+        alpha = rz / _dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = _dot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new), jnp.sqrt(_dot(r, r))
+
+    bnorm = jnp.sqrt(_dot(b, b))
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    (x, *_), it, rnorm, hist, xhist = _run_loop(
+        body, (x0, r0, p0, _dot(r0, z0)), maxiter, tol, bnorm, rnorm0)
     return x, it, rnorm, hist, xhist
 
 
@@ -311,4 +366,5 @@ _LOOPS = {
     "cg": jax.jit(_cg_loop, static_argnums=(0, 3, 4)),
     "cr": jax.jit(_cr_loop, static_argnums=(0, 3, 4)),
     "bicgstab": jax.jit(_bicgstab_loop, static_argnums=(0, 3, 4)),
+    "pcg": jax.jit(_pcg_loop, static_argnums=(0, 1, 4, 5)),
 }

@@ -76,6 +76,34 @@ def test_multigrid_beats_cg_iteration_count():
     assert mg_res.iterations < cg_res.iterations / 5
 
 
+def test_mgcg_matches_dense_and_beats_cg():
+    """MG-preconditioned CG: matches the dense ground truth AND
+    converges in grid-independent iteration counts (far fewer than
+    plain CG) — the composition of the two solver families the
+    reference study compares."""
+    size = 8
+    exact = _dense_solve(size)
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    A = krylov.poisson_operator(1.0 / size)
+    M = krylov.mg_preconditioner(
+        Spec(size=size, dtype="float64", scheme="tuned", backend="xla"))
+    res = krylov.pcg(A, f, M=M, tol=1e-12, maxiter=200)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), exact, rtol=1e-6,
+                               atol=1e-6 * np.abs(exact).max())
+
+    size = 64
+    f = jnp.asarray(oracle.point_charge_rhs(size))
+    A = krylov.poisson_operator(1.0 / size)
+    M = krylov.mg_preconditioner(
+        Spec(size=size, dtype="float64", scheme="tuned", backend="xla"))
+    mgcg = krylov.pcg(A, f, M=M, tol=1e-10, maxiter=500)
+    plain = krylov.cg(A, f, tol=1e-10, maxiter=5000)
+    assert mgcg.converged
+    assert mgcg.iterations < plain.iterations / 5, \
+        f"mgcg {mgcg.iterations} vs cg {plain.iterations}"
+
+
 def test_error_callback_replay():
     size = 16
     f = jnp.asarray(oracle.point_charge_rhs(size))
