@@ -15,7 +15,8 @@ Per size (reference: {4,8,16,32,64,128}, `:15`):
 - assert the two solutions agree (the actual gate)
 
 Usage: python -m mgpoisson.bench.converge [--sizes 4,8,16,32,64,128]
-          [--scheme reference|tuned] [--solvers cg] [--out converge]
+          [--scheme reference|tuned] [--solvers cg,cr,bicgstab,gmres,mgcg]
+          [--out converge]
 """
 
 from __future__ import annotations
@@ -75,8 +76,11 @@ def run_study(size: int, scheme: str = "reference",
            "mg_iterations": res.iterations, "psi_mg": psi_mg, "krylov": {}}
     for name in solvers:
         fn = {"cg": krylov.cg, "cr": krylov.conjugate_residual,
-              "bicgstab": krylov.bicgstab, "gmres": krylov.gmres}[name]
-        kres = fn(A, f, tol=epsilon, maxiter=50 * size)
+              "bicgstab": krylov.bicgstab, "gmres": krylov.gmres,
+              "mgcg": krylov.pcg}[name]
+        kw = {"M": krylov.mg_preconditioner(spec)} \
+            if name == "mgcg" else {}
+        kres = fn(A, f, tol=epsilon, maxiter=50 * size, **kw)
         out["krylov"][name] = {
             "iterations": kres.iterations,
             "converged": kres.converged,
