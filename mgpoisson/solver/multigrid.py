@@ -154,8 +154,7 @@ class MultigridPoisson:
         self._step = jax.jit(step)
         self._solve_loop = jax.jit(self._build_solve_loop(step),
                                    donate_argnums=(0,))
-        self._step_batched = None   # built lazily by solve_batched
-        self._solve_batched_loop = None
+        self._solve_batched_loops = {}  # built lazily by solve_batched
         self._fmg = None            # built lazily by init_state
 
     # ------------------------------------------------------------ state
@@ -281,8 +280,10 @@ class MultigridPoisson:
 
     def solve_batched(self, fs, *, cycles: Optional[int] = None):
         """Solve a batch of right-hand sides with one compiled program
-        (vmapped V-cycles; a serving-style API the reference's
-        imperative buffers could not express).
+        (a serving-style API the reference's imperative buffers could
+        not express): vmapped V-cycles on the XLA path; on the Pallas
+        path the per-element cycles run inside one fori/while loop
+        with a TUPLE carry (see _batched_loop for why).
 
         fs: (batch, *spec.shape).  cycles: V-cycles to run (default:
         iterate until the worst per-element stopping metric is below
@@ -296,43 +297,87 @@ class MultigridPoisson:
                 p, f, self.spec.fine_h))(psis, fs)
         else:
             r0s = jnp.ones((fs.shape[0],), self._dtype)
-        if self._step_batched is None:
-            self._step_batched = jax.jit(jax.vmap(self._step_fn))
-        step_b = self._step_batched
-        errs = jnp.full((fs.shape[0],), jnp.inf, self._dtype)
-        if cycles is not None:
-            for _ in range(cycles):
-                psis, errs = step_b(psis, fs, r0s)
-            return psis, errs
-        # until-converged: the whole batched loop runs on device as one
-        # lax.while_loop on the worst per-element metric — no per-cycle
-        # device->host readback (the sync the reference pays every
-        # cycle, `gpu.lua:362`)
-        if self._solve_batched_loop is None:
-            spec = self.spec
-            vstep = jax.vmap(self._step_fn)
+        key = cycles
+        if key not in self._solve_batched_loops:
+            self._solve_batched_loops[key] = jax.jit(
+                self._batched_loop(cycles), donate_argnums=(0,))
+        psis, errs = self._solve_batched_loops[key](psis, fs, r0s)
+        return psis, errs
+
+    def _batched_loop(self, cycles: Optional[int]):
+        """Build the device-side batched loop: a fixed-trip fori_loop
+        (`cycles` given) or a lax.while_loop on the worst per-element
+        metric (until-converged, up to spec.maxiter) — either way no
+        per-cycle device->host readback (the sync the reference pays
+        every cycle, `gpu.lua:362`).
+
+        Batch rule: jax.vmap of the step where legal (the XLA ops).
+        The manual-DMA (ANY-memory-space) pallas_calls have no vmap
+        batching rule (Mosaic rejects the batched grid's index_map),
+        and every formulation that slices a stacked batch near the
+        custom calls — lax.map, a trace-unrolled loop over psis[i],
+        with or without optimization_barrier — crashes XLA's TPU
+        fusion pass at batch >= ~4 ('Check failed:
+        fused_root->IsFusible()' on a slice_bitcast_fusion feeding the
+        custom-call chain).  What compiles and runs: carry a TUPLE of
+        per-element arrays, so the only batch slices sit at the jit
+        boundary feeding the loop init, never adjacent to a kernel.
+        At Pallas sizes each element already saturates HBM, so the
+        sequential per-element execution inside the loop body costs no
+        throughput; vmap exists to amortize per-launch overhead on
+        SMALL grids, which resolve to the XLA ops and keep it."""
+        from mgpoisson.kernels import get_ops
+        spec = self.spec
+        step = self._step_fn
+        use_vmap = get_ops(spec, spec.size) is xla_ops
+
+        def cond(carry):
+            *_, it, errs = carry
+            worst = jnp.max(errs)
+            return (it < spec.maxiter) & (
+                (it == 0) | ((worst >= spec.tol) & jnp.isfinite(worst)))
+
+        def run(body, init):
+            if cycles is not None:
+                return jax.lax.fori_loop(
+                    0, cycles, lambda _, c: body(c), init)
+            return jax.lax.while_loop(cond, body, init)
+
+        if use_vmap:
+            vstep = jax.vmap(step)
 
             def batched_loop(psis, fs, r0s):
-                def cond(carry):
-                    psis, it, errs = carry
-                    worst = jnp.max(errs)
-                    return (it < spec.maxiter) & (
-                        (it == 0) | ((worst >= spec.tol)
-                                     & jnp.isfinite(worst)))
+                errs0 = jnp.full((psis.shape[0],), jnp.inf, psis.dtype)
 
                 def body(carry):
                     psis, it, errs = carry
                     psis, errs = vstep(psis, fs, r0s)
                     return psis, it + 1, errs
 
-                errs0 = jnp.full((psis.shape[0],), jnp.inf, psis.dtype)
-                return jax.lax.while_loop(cond, body,
-                                          (psis, jnp.int32(0), errs0))
+                psis, _, errs = run(body, (psis, jnp.int32(0), errs0))
+                return psis, errs
 
-            self._solve_batched_loop = jax.jit(batched_loop,
-                                               donate_argnums=(0,))
-        psis, _, errs = self._solve_batched_loop(psis, fs, r0s)
-        return psis, errs
+            return batched_loop
+
+        def batched_loop(psis, fs, r0s):
+            B = psis.shape[0]
+            errs0 = jnp.full((B,), jnp.inf, psis.dtype)
+            fs_t = tuple(fs[i] for i in range(B))
+            r0_t = tuple(r0s[i] for i in range(B))
+
+            def body(carry):
+                psis_t, it, errs = carry
+                outs = [step(p, f, r)
+                        for p, f, r in zip(psis_t, fs_t, r0_t)]
+                return (tuple(o[0] for o in outs), it + 1,
+                        jnp.stack([o[1] for o in outs]))
+
+            psis_t, _, errs = run(
+                body, (tuple(psis[i] for i in range(B)), jnp.int32(0),
+                       errs0))
+            return jnp.stack(psis_t), errs
+
+        return batched_loop
 
     def _solve_host_loop(self, psi, f, r0, error_callback):
         # a 3-parameter callback also receives the live iterate (the

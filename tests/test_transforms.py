@@ -118,3 +118,26 @@ def test_solve_batched_fixed_cycles():
     psis, errs = mg.solve_batched(fs, cycles=4)
     np.testing.assert_allclose(np.asarray(psis[0]), np.asarray(psis[1]))
     assert errs.shape == (2,)
+
+
+def test_solve_batched_pallas_tuple_loop(monkeypatch):
+    """The Pallas batched path (tuple-carry loop — jax.vmap has no
+    batching rule for the manual-DMA kernels, and slice-adjacent
+    custom calls crash XLA's TPU fusion pass) matches per-element
+    solves.  Interpret mode on CPU exercises the same dispatch."""
+    monkeypatch.setenv("MGPOISSON_PALLAS_INTERPRET", "1")
+    from mgpoisson import Spec
+    spec = Spec(size=256, dtype="float32", scheme="tuned",
+                backend="pallas", stop="residual", tol=1e-7,
+                pre_smooth=1, post_smooth=1)
+    mg = MultigridPoisson(spec)
+    rng = np.random.default_rng(3)
+    fs = jnp.asarray(rng.normal(size=(2, 256, 256)), jnp.float32)
+    psis, errs = mg.solve_batched(fs)
+    assert float(jnp.max(errs)) < 1e-7
+    for k in range(2):
+        res = mg.solve(fs[k])
+        scale = float(jnp.max(jnp.abs(res.psi)))
+        np.testing.assert_allclose(np.asarray(psis[k]) / scale,
+                                   np.asarray(res.psi) / scale,
+                                   rtol=5e-6, atol=5e-6)
