@@ -271,6 +271,43 @@ def main():
     t_vcycle3 = chain_time(
         lambda u, ff: v_cycle(u, ff, spec3.fine_h, spec3), -f3,
         consts=(f3,))
+    extra3 = {}
+    if on_tpu:
+        try:
+            # 3D scaling point: 512^3 (0.5 GB/array) through the same
+            # (z, y)-blocked kernels
+            spec3b = spec3.with_(size=512)
+            f3b = jnp.zeros((512,) * 3, jnp.float32).at[
+                (256,) * 3].set(-1e6)
+            t3b = chain_time(
+                lambda u, ff: v_cycle(u, ff, spec3b.fine_h, spec3b),
+                -f3b, consts=(f3b,))
+            extra3["vcycle3d_512_time_ms"] = round(t3b * 1e3, 4)
+        except Exception as e:  # pragma: no cover
+            extra3["vcycle3d_512_error"] = (
+                f"{type(e).__name__}: {str(e)[:120]}")
+        try:
+            # batched serving: 4 RHS per program at 1024^2 through the
+            # per-element tuple-carry loop (Pallas kernels per element);
+            # chained timing (relay-safe) of one batched cycle + a
+            # correctness gate on the until-converged API
+            specb = Spec(size=1024, dtype="float32", scheme="tuned",
+                         backend="auto", stop="residual", tol=1e-10,
+                         pre_smooth=nu, post_smooth=nu)
+            mgb = MultigridPoisson(specb)
+            fsb = jnp.zeros((4, 1024, 1024), jnp.float32).at[
+                :, 512, 512].set(-1e6)
+            psb, esb = mgb.solve_batched(fsb)
+            extra3["batched4_1024_max_metric"] = float(jnp.max(esb))
+            loop1 = mgb._batched_loop(1)
+            r0sb = jnp.ones((4,), jnp.float32)
+            t_b = chain_time(
+                lambda ps, ff: loop1(ps, ff, r0sb)[0], -fsb,
+                consts=(fsb,))
+            extra3["batched4_1024_cycle_ms"] = round(t_b * 1e3, 4)
+        except Exception as e:  # pragma: no cover
+            extra3["batched_error"] = (
+                f"{type(e).__name__}: {str(e)[:120]}")
 
     # --- V-cycles and wall time to 1e-10 relative residual (north star <10)
     res = mg.solve(f)          # compile outside the timed region
@@ -414,6 +451,7 @@ def main():
             **spmd_extra,
             **parity_extra,
             "vcycle3d_time_ms": round(t_vcycle3 * 1e3, 4),
+            **extra3,
             "size3d": size3,
             "backend_3d": get_ops(spec3, size3).__name__.split(".")[-1],
             "vcycles_to_1e-10_relres": cycles_to_tol,
