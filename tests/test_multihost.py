@@ -83,6 +83,37 @@ for shard in psi3.addressable_shards:
     np.testing.assert_allclose(np.asarray(shard.data),
                                psi3_ref[shard.index], rtol=1e-6, atol=1e-6)
 
+# per-shard fused Pallas strip kernels across the process boundary:
+# partition='spmd' + interpret kernels (MGPOISSON_PALLAS_INTERPRET set
+# by the launcher); the halo strips ride the same cross-process
+# collectives as the XLA path above.  512 global -> (256, 256) local
+# blocks meet kernels.pallas.sharded_plan; nu=1+1 keeps interpret fast
+import os as _os
+_os.environ["MGPOISSON_PALLAS_INTERPRET"] = "1"
+size_p = 512
+spec_p = Spec(size=size_p, dtype="float32", scheme="tuned",
+              backend="pallas", partition="spmd", mesh_shape=(2, 2),
+              maxiter=2, pre_smooth=1, post_smooth=1, stop="residual")
+fp_np = np.zeros((size_p, size_p), np.float32)
+fp_np[size_p // 2, size_p // 2] = -1e6
+rows_p = size_p // nproc
+fp = multihost.make_global_array(fp_np[pid * rows_p:(pid + 1) * rows_p],
+                                 mesh, spec_p)
+mgp = MultigridPoisson(spec_p, mesh=mesh)
+psip, errp = mgp.step(-fp, fp)
+assert np.isfinite(float(errp))
+spec_p1 = Spec(size=size_p, dtype="float32", scheme="tuned",
+               backend="xla", maxiter=2, pre_smooth=1, post_smooth=1,
+               stop="residual")
+psip_ref, _ = MultigridPoisson(spec_p1).step(jnp.asarray(-fp_np),
+                                             jnp.asarray(fp_np))
+psip_ref = np.asarray(psip_ref)
+scale = np.abs(psip_ref).max()
+for shard in psip.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data) / scale,
+                               psip_ref[shard.index] / scale,
+                               rtol=5e-5, atol=5e-5)
+
 print(f"proc {{pid}} OK err={{err_f}}")
 """.format(repo=REPO)
 
@@ -113,7 +144,7 @@ def test_two_process_distributed_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
