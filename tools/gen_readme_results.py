@@ -52,7 +52,10 @@ def render(bench: dict, src_name: str) -> str:
          "with FMG)", "—"),
         ("V-cycle wall time (tuned scheme)",
          f"**{ex['vcycle_time_ms']:.2f} ms** (3D {ex['size3d']}³: "
-         f"{ex['vcycle3d_time_ms']:.1f} ms, fused half-level kernels)",
+         f"{ex['vcycle3d_time_ms']:.1f} ms"
+         + (f", 512³: {ex['vcycle3d_512_time_ms']:.1f} ms"
+            if ex.get("vcycle3d_512_time_ms") is not None else "")
+         + ", fused half-level kernels)",
          "—"),
         ("Smoother HBM round trip (physical, single sweep)",
          f"**{gbps:.0f} GB/s = {pct_peak:.0f} % of peak** "
@@ -111,6 +114,12 @@ def render(bench: dict, src_name: str) -> str:
             "shard_map step on a (1,1) mesh vs unsharded V-cycle",
             f"{ex['spmd_vs_unsharded_vcycle']:.2f}× "
             "(per-shard fused Pallas strip kernels)", "≤ ~1.1×"))
+    if ex.get("batched4_1024_cycle_ms") is not None:
+        rows.append((
+            "batched serving (4 RHS per program, 1024²)",
+            f"{ex['batched4_1024_cycle_ms']:.2f} ms per batched cycle = "
+            f"{ex['batched4_1024_cycle_ms'] / 4:.2f} ms/element "
+            "(`solve_batched`, until-converged loop on device)", "—"))
     if ex.get("kernel_parity_max_err") is not None:
         rows.append((
             "Compiled-kernel parity vs XLA ops (on device)",
