@@ -85,6 +85,31 @@ def _interpret() -> bool:
     return os.environ.get("MGPOISSON_PALLAS_INTERPRET", "0") == "1"
 
 
+# In-place HBM writes for large arrays.  Measured on v5e (2026-08-19):
+# Pallas kernels whose output is a separate >= 128 MiB HBM buffer run at
+# ~400 GB/s while the same kernel writing IN PLACE (input_output_aliases)
+# runs at ~680 GB/s — reads+writes to one buffer keep HBM page locality,
+# and the effect follows per-array byte size exactly (64 MiB arrays show
+# no cliff; aliasing the output to a different same-shape buffer does
+# not help, it must be the same address).  XLA stays correct either way:
+# if the aliased input is still live at the call site it inserts a
+# defensive copy.  In the V-cycle every smoothed iterate is consumed by
+# the next half-level op, so the alias is free where it matters.
+# Requires the fresh-read + VMEM-halo-carry DMA scheme (reads never
+# overlap an earlier stripe's writeback range, and each stripe's reads
+# are waited before its write is issued), which all striped kernels use.
+_INPLACE_MIN = int(os.environ.get(
+    "MGPOISSON_PALLAS_INPLACE_MIN_BYTES", str(128 << 20)))
+
+
+def _alias(u, in_idx: int = 0, out_idx: int = 0):
+    """input_output_aliases for pallas_call: write u's successor in
+    place when the array is big enough to hit the bandwidth cliff."""
+    if u.size * jnp.dtype(u.dtype).itemsize >= _INPLACE_MIN:
+        return {in_idx: out_idx}
+    return {}
+
+
 def _supported(u, nu=1) -> bool:
     if u.ndim != 2 or u.shape[0] != u.shape[1]:
         return False
@@ -380,6 +405,7 @@ def _smooth_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        input_output_aliases=_alias(u),
         scratch_shapes=[
             pltpu.VMEM((2, R, n), dtype),      # u stripes
             pltpu.VMEM((2, R, n), dtype),      # f stripes
@@ -552,6 +578,7 @@ def _plan_wide(n, nu, smoother, itemsize, n_v_bufs=0):
                 continue
             vmem = itemsize * (4 * (bm + 2 * hr) * (bc + 2 * _HC)
                                + 2 * bm * bc
+                               + 2 * hr * n   # block-row boundary stash
                                + n_v_bufs * (bm // 2 + 16) * (bc // 2
                                                               + 2 * _HC))
             if vmem > _VMEM_BUDGET:
@@ -581,8 +608,15 @@ def _block_in(op, hbm, vref, sem, i0, i1, slot, geom0, geom1,
     n_stripes) per axis; alignN wraps that axis's source offset in its
     pl.multiple_of annotation (_mult8 for sublane axes, _mult128 for
     lane axes, _ident for untiled leading axes)."""
-    for c0, s0, l0, d0 in _axis_cases(i0, *geom0):
-        for c1, s1, l1, d1 in _axis_cases(i1, *geom1):
+    _block_in_cases(op, hbm, vref, sem, slot,
+                    _axis_cases(i0, *geom0), _axis_cases(i1, *geom1),
+                    align0, align1)
+
+
+def _block_in_cases(op, hbm, vref, sem, slot, cases0, cases1,
+                    align0, align1):
+    for c0, s0, l0, d0 in cases0:
+        for c1, s1, l1, d1 in cases1:
             cond = None
             if c0 is not None:
                 cond = c0
@@ -609,6 +643,91 @@ def _block_in_2d(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs, bc, nc_s,
               (bc, hc, nc_s), _mult8, _mult128)
 
 
+def _axis_cases_body(i, base, halo, n_str):
+    """Fresh-ROW cases for the in-place wide kernels: window i loads
+    only rows [i*base, (i+1)*base + halo) (clipped) at dst offset halo.
+    The top halo rows [i*base - halo, i*base) are NOT read from HBM —
+    in-place writeback has already clobbered them there; they come from
+    the block-row strip stash in VMEM (see _smooth_fused_wide)."""
+    if halo == 0:
+        return [(None, i * base, base, 0)]
+    if n_str == 1:
+        return [(None, 0, base, halo)]
+    return [(i == n_str - 1, i * base, base, halo),
+            (i < n_str - 1, i * base, base + halo, halo)]
+
+
+def _axis_cases_fresh(i, base, halo, n_str):
+    """Fresh-COLUMN cases (the _stripe_in_fresh scheme on a second
+    axis): the head [0, 2*halo) of window i is carried in VMEM from the
+    previous window's buffer (consecutive windows overlap exactly
+    there), so only [i*base + halo, (i+1)*base + halo) (clipped) is
+    read, at dst 2*halo.  Window 0 has no predecessor and loads
+    [0, base + halo) whole at dst halo."""
+    if halo == 0:
+        return [(None, i * base, base, 0)]
+    if n_str == 1:
+        return [(None, 0, base, halo)]
+    cases = [(i == 0, 0, base + halo, halo),
+             (i == n_str - 1, i * base + halo, base - halo, 2 * halo)]
+    if n_str > 2:
+        cases.append(((i > 0) & (i < n_str - 1), i * base + halo, base,
+                      2 * halo))
+    return cases
+
+
+def _block_in_fresh2d(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs,
+                      bcw, ncs, hc=_HC):
+    """In-place-safe fresh block DMA: rows from _axis_cases_body (top
+    halo via strip stash), columns from _axis_cases_fresh (left halo
+    via VMEM carry).  Reads never overlap any range an earlier block's
+    in-place writeback covers."""
+    _block_in_cases(op, hbm, vref, sem, slot,
+                    _axis_cases_body(ir, bm, hr, nrs),
+                    _axis_cases_fresh(ic, bcw, hc, ncs),
+                    _mult8, _mult128)
+
+
+def _wide_u_assemble(us, strip, loc_sem, slot, other, ir, ic,
+                     bm, hr, nrs, bcw, ncs, more_blocks):
+    """Buffer assembly for the in-place wide scheme, after the fresh
+    DMA wait: (1) top-halo rows [0, hr) from the strip stash — their
+    HBM copy was overwritten in place during block-row ir-1; (2) left
+    column halo handed to the next block's buffer (VMEM carry, kills
+    the re-read); (3) stash this block's bottom boundary rows (the
+    ORIGINAL values about to be overwritten) for block-row ir+1.
+    Local VMEM->VMEM DMAs are started and waited inline — they move
+    <=300 KB against a multi-MB block compute."""
+    hc = _HC
+
+    def lcopy(src, dst):
+        dma = pltpu.make_async_copy(src, dst, loc_sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(ir > 0)
+    def _():
+        sr = jax.lax.rem(ir + 1, 2)       # strip written during row ir-1
+        for cond, s1, l1, d1 in _axis_cases(ic, bcw, hc, ncs):
+            def cp(s1=s1, l1=l1, d1=d1):
+                lcopy(strip.at[sr, :, pl.ds(_mult128(s1), l1)],
+                      us.at[slot, pl.ds(0, hr), pl.ds(d1, l1)])
+            if cond is None:
+                cp()
+            else:
+                pl.when(cond)(cp)
+
+    @pl.when(more_blocks & (ic + 1 < ncs))
+    def _():
+        us[other, :, pl.ds(0, 2 * hc)] = us[slot, :, pl.ds(bcw, 2 * hc)]
+
+    @pl.when(ir + 1 < nrs)
+    def _():
+        lcopy(us.at[slot, pl.ds(bm, hr), pl.ds(hc, bcw)],
+              strip.at[jax.lax.rem(ir, 2), :,
+                       pl.ds(_mult128(ic * bcw), bcw)])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "interpret",
@@ -622,13 +741,14 @@ def _smooth_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
     n_blocks = nrs * ncs
     R, C = bm + 2 * hr, bcw + 2 * hc
     hsq = h * h
-    assert bm % 8 == 0 and bcw % 128 == 0
+    assert bm % 8 == 0 and bcw % 128 == 0 and bm >= 2 * hr
 
-    def kernel(u_hbm, f_hbm, out_hbm, us, fs, outs, in_sems, out_sems):
+    def kernel(u_hbm, f_hbm, out_hbm, us, fs, outs, strip,
+               in_sems, out_sems, loc_sem):
         def issue(b, slot):
             ir, ic = b // ncs, jax.lax.rem(b, ncs)
-            _block_in_2d("start", u_hbm, us, in_sems.at[slot, 0], ir, ic,
-                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_fresh2d("start", u_hbm, us, in_sems.at[slot, 0],
+                              ir, ic, slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("start", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
                          slot, bm, hr, nrs, bcw, ncs)
 
@@ -636,16 +756,20 @@ def _smooth_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
 
         def body(b, _):
             slot = jax.lax.rem(b, 2)
+            other = jax.lax.rem(b + 1, 2)
             ir, ic = b // ncs, jax.lax.rem(b, ncs)
 
             @pl.when(b + 1 < n_blocks)
             def _():
-                issue(b + 1, jax.lax.rem(b + 1, 2))
+                issue(b + 1, other)
 
-            _block_in_2d("wait", u_hbm, us, in_sems.at[slot, 0], ir, ic,
-                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_fresh2d("wait", u_hbm, us, in_sems.at[slot, 0],
+                              ir, ic, slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("wait", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
                          slot, bm, hr, nrs, bcw, ncs)
+
+            _wide_u_assemble(us, strip, loc_sem, slot, other, ir, ic,
+                             bm, hr, nrs, bcw, ncs, b + 1 < n_blocks)
 
             uv = _sweeps_wide(us[slot], fs[slot], nu, smoother, bc, hsq,
                               hr, bm, hc, bcw,
@@ -681,12 +805,15 @@ def _smooth_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
         out_shape=jax.ShapeDtypeStruct((n, n), dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        input_output_aliases=_alias(u),
         scratch_shapes=[
             pltpu.VMEM((2, R, C), dtype),
             pltpu.VMEM((2, R, C), dtype),
             pltpu.VMEM((2, bm, bcw), dtype),
+            pltpu.VMEM((2, hr, n), dtype),    # block-row boundary stash
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -713,15 +840,15 @@ def _rr_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
     pmat = _halve_mat(bcw, dtype)
 
     def kernel(u_hbm, f_hbm, p_hbm, out_hbm, rout_hbm,
-               us, fs, pv, outs, routs, in_sems, out_sems, rout_sems,
-               p_sem):
+               us, fs, pv, outs, routs, strip, in_sems, out_sems,
+               rout_sems, p_sem, loc_sem):
         pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
         pdma.start()
 
         def issue(b, slot):
             ir, ic = b // ncs, jax.lax.rem(b, ncs)
-            _block_in_2d("start", u_hbm, us, in_sems.at[slot, 0], ir, ic,
-                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_fresh2d("start", u_hbm, us, in_sems.at[slot, 0],
+                              ir, ic, slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("start", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
                          slot, bm, hr, nrs, bcw, ncs)
 
@@ -730,16 +857,20 @@ def _rr_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
 
         def body(b, _):
             slot = jax.lax.rem(b, 2)
+            other = jax.lax.rem(b + 1, 2)
             ir, ic = b // ncs, jax.lax.rem(b, ncs)
 
             @pl.when(b + 1 < n_blocks)
             def _():
-                issue(b + 1, jax.lax.rem(b + 1, 2))
+                issue(b + 1, other)
 
-            _block_in_2d("wait", u_hbm, us, in_sems.at[slot, 0], ir, ic,
-                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_fresh2d("wait", u_hbm, us, in_sems.at[slot, 0],
+                              ir, ic, slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("wait", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
                          slot, bm, hr, nrs, bcw, ncs)
+
+            _wide_u_assemble(us, strip, loc_sem, slot, other, ir, ic,
+                             bm, hr, nrs, bcw, ncs, b + 1 < n_blocks)
 
             rf, rl = ir == 0, ir == nrs - 1
             cf, cl = ic == 0, ic == ncs - 1
@@ -803,15 +934,18 @@ def _rr_fused_wide(u, f, *, h: float, nu: int, smoother: str, bc: str,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
+        input_output_aliases=_alias(u),
         scratch_shapes=[
             pltpu.VMEM((2, R, C), dtype),
             pltpu.VMEM((2, R, C), dtype),
             pltpu.VMEM(pmat.shape, dtype),
             pltpu.VMEM((2, bm, bcw), dtype),
             pltpu.VMEM((2, bm // 2, bcw // 2), dtype),
+            pltpu.VMEM((2, hr, n), dtype),    # block-row boundary stash
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=_compiler_params(),
@@ -848,18 +982,19 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
 
     def kernel(u_hbm, f_hbm, v_hbm, e_hbm, out_hbm, *rest):
         if rnorm:
-            (racc_hbm, us, fs, vs, ev, outs, racc,
-             in_sems, out_sems, e_sem, r_sem) = rest
+            (racc_hbm, us, fs, vs, ev, outs, strip, racc,
+             in_sems, out_sems, e_sem, r_sem, loc_sem) = rest
             racc[:] = jnp.zeros_like(racc)
         else:
-            us, fs, vs, ev, outs, in_sems, out_sems, e_sem = rest
+            (us, fs, vs, ev, outs, strip,
+             in_sems, out_sems, e_sem, loc_sem) = rest
         edma = pltpu.make_async_copy(e_hbm, ev, e_sem)
         edma.start()
 
         def issue(b, slot):
             ir, ic = b // ncs, jax.lax.rem(b, ncs)
-            _block_in_2d("start", u_hbm, us, in_sems.at[slot, 0], ir, ic,
-                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_fresh2d("start", u_hbm, us, in_sems.at[slot, 0],
+                              ir, ic, slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("start", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
                          slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("start", v_hbm, vs, in_sems.at[slot, 2], ir, ic,
@@ -870,18 +1005,22 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
 
         def body(b, _):
             slot = jax.lax.rem(b, 2)
+            other = jax.lax.rem(b + 1, 2)
             ir, ic = b // ncs, jax.lax.rem(b, ncs)
 
             @pl.when(b + 1 < n_blocks)
             def _():
-                issue(b + 1, jax.lax.rem(b + 1, 2))
+                issue(b + 1, other)
 
-            _block_in_2d("wait", u_hbm, us, in_sems.at[slot, 0], ir, ic,
-                         slot, bm, hr, nrs, bcw, ncs)
+            _block_in_fresh2d("wait", u_hbm, us, in_sems.at[slot, 0],
+                              ir, ic, slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("wait", f_hbm, fs, in_sems.at[slot, 1], ir, ic,
                          slot, bm, hr, nrs, bcw, ncs)
             _block_in_2d("wait", v_hbm, vs, in_sems.at[slot, 2], ir, ic,
                          slot, bm // 2, chr_, nrs, bcw // 2, ncs, hc=chc)
+
+            _wide_u_assemble(us, strip, loc_sem, slot, other, ir, ic,
+                             bm, hr, nrs, bcw, ncs, b + 1 < n_blocks)
 
             rf, rl = ir == 0, ir == nrs - 1
             cf, cl = ic == 0, ic == ncs - 1
@@ -957,6 +1096,7 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         pltpu.VMEM((2, Rc, Cc), dtype),
         pltpu.VMEM(emat.shape, dtype),
         pltpu.VMEM((2, bm, bcw), dtype),
+        pltpu.VMEM((2, hr, n), dtype),    # block-row boundary stash
     ]
     sems = [
         pltpu.SemaphoreType.DMA((2, 3)),
@@ -967,16 +1107,19 @@ def _pc_fused_wide(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((1, bcw), jnp.float32))
         scratch = scratch + [pltpu.VMEM((1, bcw), jnp.float32)]
-        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        sems = sems + [pltpu.SemaphoreType.DMA(()),
+                       pltpu.SemaphoreType.DMA(())]
         out_specs = (pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec(memory_space=pl.ANY))
     else:
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=out_specs,
+        input_output_aliases=_alias(u),
         scratch_shapes=scratch + sems,
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -1705,7 +1848,16 @@ def _sel_dot(x, m):
     must be 32-bit, and an fp32-precision contract rejects bf16
     operands ('Bad lhs type'), so bf16 runs the whole dot in f32 (the
     MXU takes f32 via multiple passes; these matmuls are a small slice
-    of kernel time) and casts back."""
+    of kernel time) and casts back.
+
+    Cheaper contracts were measured and rejected (v5e, 2026-08-19):
+    Precision.HIGH is ~6e-5 relative on this hardware (not the exact
+    3-term split) and Mosaic refuses to lower it in-kernel anyway;
+    a manual 3-term bf16 Dekker split with DEFAULT-precision passes is
+    f32-exact but SLOWER end-to-end (rr_fused 16384^2: 11.98 ms vs
+    9.43) — the composites are VPU-bound, so the split's extra
+    element-wise converts/subtracts cost more than the saved MXU
+    passes."""
     dtype = x.dtype
     if jnp.dtype(dtype) == jnp.bfloat16:
         x, m = x.astype(jnp.float32), m.astype(jnp.float32)
@@ -1824,6 +1976,7 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
     dtype = u.dtype
     n_stripes = n // bm
     assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    assert halo % 8 == 0, "in-flight-DMA disjointness needs 8-row halo"
     R_ = bm + 2 * halo
     hsq = h * h
     inv_hsq = 1.0 / hsq
@@ -1836,25 +1989,36 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
         pdma.start()
 
         def issue(i, slot):
-            _stripe_in("start", u_hbm, us, in_sems.at[slot, 0], i, slot,
-                       bm, halo, n_stripes)
-            _stripe_in("start", f_hbm, fs, in_sems.at[slot, 1], i, slot,
-                       bm, halo, n_stripes)
+            _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("start", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
 
         issue(0, 0)
         pdma.wait()
 
         def body(i, _):
             slot = jax.lax.rem(i, 2)
+            other = jax.lax.rem(i + 1, 2)
 
             @pl.when(i + 1 < n_stripes)
             def _():
-                issue(i + 1, jax.lax.rem(i + 1, 2))
+                issue(i + 1, other)
 
-            _stripe_in("wait", u_hbm, us, in_sems.at[slot, 0], i, slot,
-                       bm, halo, n_stripes)
-            _stripe_in("wait", f_hbm, fs, in_sems.at[slot, 1], i, slot,
-                       bm, halo, n_stripes)
+            _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("wait", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
+
+            # hand the next stripe its head (the 2*halo overlap rows)
+            # from this stripe's freshly loaded buffer; disjoint from
+            # the fresh-row DMA in flight (see _smooth_fused)
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                us[other, pl.ds(0, 2 * halo)] = us[slot,
+                                                   pl.ds(bm, 2 * halo)]
+                fs[other, pl.ds(0, 2 * halo)] = fs[slot,
+                                                   pl.ds(bm, 2 * halo)]
 
             is_first = i == 0
             is_last = i == n_stripes - 1
@@ -1916,6 +2080,7 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
+        input_output_aliases=_alias(u),
         scratch_shapes=[
             pltpu.VMEM((2, R_, n), dtype),            # u stripes
             pltpu.VMEM((2, R_, n), dtype),            # f stripes
@@ -1957,6 +2122,7 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
     dtype = u.dtype
     n_stripes = n // bm
     assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    assert halo % 8 == 0, "in-flight-DMA disjointness needs 8-row halo"
     assert halo <= 14, "coarse halo of 8 covers fine halo + bilinear shift"
     R_ = bm + 2 * halo
     chalo = 8
@@ -1976,10 +2142,10 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         edma.start()
 
         def issue(i, slot):
-            _stripe_in("start", u_hbm, us, in_sems.at[slot, 0], i, slot,
-                       bm, halo, n_stripes)
-            _stripe_in("start", f_hbm, fs, in_sems.at[slot, 1], i, slot,
-                       bm, halo, n_stripes)
+            _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("start", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
             _stripe_in("start", v_hbm, vs, in_sems.at[slot, 2], i, slot,
                        bm // 2, chalo, n_stripes)
 
@@ -1988,17 +2154,28 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
 
         def body(i, _):
             slot = jax.lax.rem(i, 2)
+            other = jax.lax.rem(i + 1, 2)
 
             @pl.when(i + 1 < n_stripes)
             def _():
-                issue(i + 1, jax.lax.rem(i + 1, 2))
+                issue(i + 1, other)
 
-            _stripe_in("wait", u_hbm, us, in_sems.at[slot, 0], i, slot,
-                       bm, halo, n_stripes)
-            _stripe_in("wait", f_hbm, fs, in_sems.at[slot, 1], i, slot,
-                       bm, halo, n_stripes)
+            _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("wait", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
             _stripe_in("wait", v_hbm, vs, in_sems.at[slot, 2], i, slot,
                        bm // 2, chalo, n_stripes)
+
+            # hand the next stripe its head (the 2*halo overlap rows)
+            # from this stripe's freshly loaded buffer; disjoint from
+            # the fresh-row DMA in flight (see _smooth_fused)
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                us[other, pl.ds(0, 2 * halo)] = us[slot,
+                                                   pl.ds(bm, 2 * halo)]
+                fs[other, pl.ds(0, 2 * halo)] = fs[slot,
+                                                   pl.ds(bm, 2 * halo)]
 
             is_first = i == 0
             is_last = i == n_stripes - 1
@@ -2088,6 +2265,7 @@ def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=out_specs,
+        input_output_aliases=_alias(u),
         scratch_shapes=scratch + sems,
         compiler_params=_compiler_params(),
         interpret=interpret,
