@@ -144,6 +144,28 @@ def main():
     t_vrn = kt(_rn_chain, psi, consts=(f, z))
     rstop_overhead_pct = 100.0 * (t_vrn - t_vcycle) / t_vcycle
 
+    # --- stop_check='adaptive': the amortized metric cost over a real
+    # solve.  Exact ||r|| cycles run only when the learned contraction
+    # model predicts the residual is near tol (plus a periodic forced
+    # check); n_metric_evals counts them, and the chained per-cycle
+    # timings price them: overhead = nmeas*(t_vrn-t_vcycle) spread over
+    # iterations*t_vcycle of cycle work
+    adaptive_extra = {}
+    try:
+        mg_a = MultigridPoisson(spec.with_(stop_check="adaptive"))
+        res_a = mg_a.solve(f)
+        adaptive_extra = {
+            "adaptive_cycles": res_a.iterations,
+            "adaptive_metric_evals": res_a.n_metric_evals,
+            "adaptive_converged": bool(res_a.converged),
+            "adaptive_stop_overhead_pct": round(
+                100.0 * res_a.n_metric_evals * (t_vrn - t_vcycle)
+                / (res_a.iterations * t_vcycle), 2),
+        }
+    except Exception as e:  # pragma: no cover
+        adaptive_extra = {"adaptive_error":
+                          f"{type(e).__name__}: {str(e)[:120]}"}
+
     # --- bf16: half the HBM bytes per cell -> the sweep should run
     # ~2x faster than f32 at the same GB/s (bandwidth-bound check)
     psi_bf = psi.astype(jnp.bfloat16)
@@ -443,6 +465,7 @@ def main():
             "vcycle_time_ms": round(t_vcycle * 1e3, 4),
             "vcycle_rnorm_time_ms": round(t_vrn * 1e3, 4),
             "residual_stop_overhead_pct": round(rstop_overhead_pct, 2),
+            **adaptive_extra,
             "bf16_smoother_nu1_time_ms": round(t_s1_bf * 1e3, 4),
             "bf16_smoother_phys_gbps": round(bf16_phys_gbps, 2),
             "bf16_speedup_vs_f32": round(t_s1 / t_s1_bf, 3),

