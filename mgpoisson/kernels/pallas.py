@@ -191,6 +191,215 @@ def _apply_row_bc(u, bc, is_first, is_last, top_ghost_row, bot_ghost_row):
     return u
 
 
+# ------------------------------------------- packed-parity red-black GS
+# The where-select RBGS form evaluates the full 5-point stencil twice
+# per sweep and discards half of each evaluation.  Packing the two
+# checkerboard colors into lane-contiguous (R, n/2) arrays makes one RB
+# sweep cost ~one stencil of VPU work: measured 6.89 -> 2.79 us/sweep
+# at 1024^2 f32 on v5e (where-select vs packed, whole-VMEM, max diff
+# 1.8e-7 — add-order rounding only).  Pack/unpack are exact MXU
+# selection matmuls (one contributor per output lane), amortized over
+# all nu sweeps of a kernel invocation.
+#
+# OFF BY DEFAULT after on-device measurement (v5e, 2026-08-19): the
+# per-call pack/unpack is ~5 full-array lane selections = ~14 G MAC at
+# 4096^2 striped, and at precision=HIGHEST (6 MXU passes; required —
+# DEFAULT would round u to bf16 every smooth call) that costs ~0.7 ms,
+# swamping the ~0.1 ms/sweep VPU saving at every production nu: the
+# nu=1 striped smoother measured 1.03 ms packed vs 0.30 ms
+# where-select; break-even is nu ~ 11 and rbgs kernels are capped at
+# nu <= 4.  (The 18-sweep microbench regime that motivated this hid
+# the fixed cost.)  The form that WOULD win is packed-persistent
+# state — u/f kept checkerboard-packed in HBM across the whole solve,
+# pack/unpack only at level handoffs (restrict in packed space is a
+# sublane pair-sum of xr+xb, cheaper than the lane-halve matmul) — a
+# future kernel-layer redesign, not a per-call flag.  The path stays
+# correct and differentially tested (tests/test_rbgs_packed.py, all
+# modes/bcs) behind MGPOISSON_RBGS_PACKED=1 for that work.
+#
+# Layout: xr[i, j] = u[i, 2j + i%2]   (color of parity (r+c)%2 == 0)
+#         xb[i, j] = u[i, 2j + 1 - i%2]  (parity 1)
+# which is globally correct because every caller's buffer origin is
+# even on both axes (stripe bases and halos are multiples of 8, wide-
+# block column offsets multiples of 128).  Neighbor identities:
+#   up/dn of xr[i, j]    = xb[i-1, j], xb[i+1, j]
+#   left+right of xr[i,j]= xb[i, j] + (xb[i, j-1] if row even
+#                                      else xb[i, j+1])
+# and symmetrically for xb with the horizontal shift direction flipped.
+
+_RBGS_PACKED = os.environ.get("MGPOISSON_RBGS_PACKED", "0") == "1"
+
+
+def _pack_sel_mats(dtype):
+    """(C, C/2) even/odd lane-selection matrices, built from iota so no
+    kernel operand is needed.  Entries are exactly 0/1 and each output
+    lane has exactly one contributor, so the selection matmuls are
+    exact at any precision."""
+    c = _LANE_CHUNK
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (c, c // 2), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (c, c // 2), 1)
+    se = (r_i == 2 * c_i).astype(dtype)
+    so = (r_i == 2 * c_i + 1).astype(dtype)
+    return se, so
+
+
+def _sel_dot_t(x, m):
+    """x @ m.T without materializing the transpose (_sel_dot twin)."""
+    dtype = x.dtype
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        x, m = x.astype(jnp.float32), m.astype(jnp.float32)
+    out = jax.lax.dot_general(x, m, (((1,), (1,)), ((), ())),
+                              precision=_HI,
+                              preferred_element_type=x.dtype)
+    return out.astype(dtype)
+
+
+def _lane_pack(x, m):
+    """(r, n) -> (r, n/2): select even (m=se) or odd (m=so) lanes."""
+    c = m.shape[0]
+    parts = [_sel_dot(x[:, k * c:(k + 1) * c], m)
+             for k in range(x.shape[1] // c)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _lane_unpack(xe, xo, se, so):
+    """Interleave even/odd lane halves back to (r, n)."""
+    ch = se.shape[1]
+    parts = [_sel_dot_t(xe[:, k * ch:(k + 1) * ch], se)
+             + _sel_dot_t(xo[:, k * ch:(k + 1) * ch], so)
+             for k in range(xe.shape[1] // ch)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _shift_sub_dn(x):  # out[i] = x[i-1], zero row in at the top
+    return jnp.concatenate([jnp.zeros_like(x[:1, :]), x[:-1, :]], axis=0)
+
+
+def _shift_sub_up(x):  # out[i] = x[i+1]
+    return jnp.concatenate([x[1:, :], jnp.zeros_like(x[:1, :])], axis=0)
+
+
+def _shift_lane_r(x):  # out[:, j] = x[:, j-1]
+    return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+
+
+def _shift_lane_l(x):  # out[:, j] = x[:, j+1]
+    return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+
+
+def _rbgs_packed_sweeps(uv, fv, nu, bc, hsq, *, halo, bm,
+                        is_first, is_last, edge=True,
+                        hc=0, bcw=0, cf=None, cl=None):
+    """nu red-black Gauss-Seidel sweeps in checkerboard-packed layout.
+
+    Row geometry (mirrors _sweeps / _apply_row_bc):
+      halo > 0  — stripe mode: physical ghost rows at local tg = halo-1
+                  and bg = halo+bm when is_first/is_last; 'face' writes
+                  the cross-color reflection xr[tg] = -xb[tg+1] (same
+                  fine column by the packing identity), 'ghost0' zeroes.
+      halo == 0 — whole-grid mode: top/bottom rows are physical grid
+                  edges; 'face' adds the virtual-ghost correction -X
+                  on the edge rows of the vertical neighbor sum.
+    Column geometry:
+      hc == 0 — full-width rows (striped/whole kernels): columns are
+                global; 'face' adds -X edge-column corrections gated on
+                row parity, 'ghost0' is the natural zero shift-in.
+      hc > 0  — two-axis wide block ('ghost0' only, the caller
+                guarantees): per-half-sweep zeroing of the global ghost
+                lanes, which land on the SAME packed column range for
+                both colors because hc and bcw are even.
+    Matches the where-select form's fixup schedule exactly: fix, red,
+    fix, black, fix per sweep.
+    """
+    R_, n_ = uv.shape
+    dtype = uv.dtype
+    assert n_ % 2 == 0 and n_ % _LANE_CHUNK == 0
+    assert hc == 0 or bc == "ghost0"
+    quarter = jnp.asarray(0.25, dtype)
+    c1 = fv * jnp.asarray(-hsq * 0.25, dtype)
+    se, so = _pack_sel_mats(dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+    er = (rows % 2) == 0
+    # Stale-region sanitize BEFORE packing: clipped edge DMAs leave
+    # stale (possibly non-finite) rows/cols in the buffer.  The
+    # where-select form neutralizes them with its per-sweep fixups;
+    # here the pack matmuls would smear a NaN across the whole
+    # 256-lane chunk first (0 * NaN = NaN), so zero those regions on
+    # the unpacked values (bc_fix rewrites every ghost cell before any
+    # read, so zeroing is safe for both bcs).
+    if edge and halo > 0:
+        m = (is_first & (rows <= halo - 1)) | (is_last & (rows >= halo + bm))
+        uv = jnp.where(m, 0.0, uv)
+        c1 = jnp.where(m, 0.0, c1)
+    if hc > 0:
+        fcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_), 1)
+        m = (cf & (fcols <= hc - 1)) | (cl & (fcols >= hc + bcw))
+        uv = jnp.where(m, 0.0, uv)
+        c1 = jnp.where(m, 0.0, c1)
+    ue, uo = _lane_pack(uv, se), _lane_pack(uv, so)
+    xr, xb = jnp.where(er, ue, uo), jnp.where(er, uo, ue)
+    ce, co = _lane_pack(c1, se), _lane_pack(c1, so)
+    cr, cb = jnp.where(er, ce, co), jnp.where(er, co, ce)
+    tg, bg = halo - 1, halo + bm
+
+    if hc > 0:
+        pcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_ // 2), 1)
+        m_cl = cf & (pcols <= hc // 2 - 1)
+        m_cr = cl & (pcols >= (hc + bcw) // 2)
+
+    def bc_fix(xr, xb):
+        if edge and halo > 0:
+            if bc == "ghost0":
+                for m in (is_first & (rows <= tg), is_last & (rows >= bg)):
+                    xr = jnp.where(m, 0.0, xr)
+                    xb = jnp.where(m, 0.0, xb)
+            else:  # face: ghost row = -(partner color's edge row)
+                nxr = jnp.where(is_first & (rows == tg), -xb[tg + 1:tg + 2, :], xr)
+                nxb = jnp.where(is_first & (rows == tg), -xr[tg + 1:tg + 2, :], xb)
+                nxr = jnp.where(is_last & (rows == bg), -xb[bg - 1:bg, :], nxr)
+                nxb = jnp.where(is_last & (rows == bg), -xr[bg - 1:bg, :], nxb)
+                for m in (is_first & (rows < tg), is_last & (rows > bg)):
+                    nxr = jnp.where(m, 0.0, nxr)
+                    nxb = jnp.where(m, 0.0, nxb)
+                xr, xb = nxr, nxb
+        if hc > 0:
+            for m in (m_cl, m_cr):
+                xr = jnp.where(m, 0.0, xr)
+                xb = jnp.where(m, 0.0, xb)
+        return xr, xb
+
+    def color_update(X, Y, cX, red):
+        V = _shift_sub_dn(Y) + _shift_sub_up(Y)
+        if halo == 0 and bc == "face" and edge:
+            # virtual ghost above/below the grid edge = -(the cell)
+            V = jnp.concatenate(
+                [V[:1] - X[:1], V[1:-1], V[-1:] - X[-1:]], axis=0)
+        a, b = _shift_lane_r(Y), _shift_lane_l(Y)
+        H = Y + (jnp.where(er, a, b) if red else jnp.where(er, b, a))
+        if hc == 0 and bc == "face":
+            # global edge columns: ghost = -(the cell); which rows of
+            # each packed array sit on the edge depends on row parity
+            z = jnp.zeros_like(X[:, :1])
+            if red:
+                c0 = jnp.where(er, -X[:, :1], z)
+                c9 = jnp.where(er, z, -X[:, -1:])
+            else:
+                c0 = jnp.where(er, z, -X[:, :1])
+                c9 = jnp.where(er, -X[:, -1:], z)
+            H = jnp.concatenate(
+                [H[:, :1] + c0, H[:, 1:-1], H[:, -1:] + c9], axis=1)
+        return (V + H) * quarter + cX
+
+    xr, xb = bc_fix(xr, xb)
+    for _ in range(nu):
+        xr = color_update(xr, xb, cr, red=True)
+        xr, xb = bc_fix(xr, xb)
+        xb = color_update(xb, xr, cb, red=False)
+        xr, xb = bc_fix(xr, xb)
+    return _lane_unpack(jnp.where(er, xr, xb), jnp.where(er, xb, xr),
+                        se, so)
+
+
 # ------------------------------------------------- stripe DMA helpers
 # Row-stripe transfers between HBM and VMEM scratch with halo clipping:
 # stripe i of an (n, w) array covers rows [i*base - halo, i*base + base
@@ -283,6 +492,10 @@ def _sweeps(uv, fv, nu, smoother, bc, hsq, adiag, halo, bm,
         return _apply_row_bc(x, bc, is_first, is_last, halo - 1, halo + bm)
 
     if smoother == "rbgs":
+        if _RBGS_PACKED and n_ % _LANE_CHUNK == 0:
+            return _rbgs_packed_sweeps(
+                uv, fv, nu, bc, hsq, halo=halo, bm=bm,
+                is_first=is_first, is_last=is_last, edge=edge)
         rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_), 1)
         parity = (rows + cols + halo) % 2
@@ -427,28 +640,8 @@ def _smooth_whole(u, f, *, h, nu, smoother, bc, interpret):
     adiag = -4.0 / hsq
 
     def kernel(u_ref, f_ref, out_ref):
-        uv = u_ref[:]
-        fv = f_ref[:]
-        c1 = fv * jnp.asarray(-hsq * 0.25, uv.dtype)
-        quarter = jnp.asarray(0.25, uv.dtype)
-        omega = 0.8
-        one_m_om = jnp.asarray(1.0 - omega, uv.dtype)
-        om_quarter = jnp.asarray(omega * 0.25, uv.dtype)
-        c1w = fv * jnp.asarray(-hsq * 0.25 * omega, uv.dtype)
-        if smoother == "rbgs":
-            rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-            parity = (rows + cols) % 2
-        for _ in range(nu):
-            if smoother == "jacobi":
-                uv = _nbr_full(uv, bc) * quarter + c1
-            elif smoother == "wjacobi":
-                uv = one_m_om * uv + _nbr_full(uv, bc) * om_quarter + c1w
-            else:
-                for p in (0, 1):
-                    upd = _nbr_full(uv, bc) * quarter + c1
-                    uv = jnp.where(parity == p, upd, uv)
-        out_ref[:] = uv
+        out_ref[:] = _whole_sweeps(u_ref[:], f_ref[:], nu, smoother,
+                                   bc, hsq)
 
     return pl.pallas_call(
         kernel,
@@ -543,6 +736,10 @@ def _sweeps_wide(uv, fv, nu, smoother, bc, hsq, hr, bm, hc, bcw,
         return _apply_col_bc(x, bc, cf, cl, hc - 1, hc + bcw)
 
     if smoother == "rbgs":
+        if _RBGS_PACKED and bc == "ghost0" and C_ % _LANE_CHUNK == 0:
+            return _rbgs_packed_sweeps(
+                uv, fv, nu, bc, hsq, halo=hr, bm=bm,
+                is_first=rf, is_last=rl, hc=hc, bcw=bcw, cf=cf, cl=cl)
         rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, C_), 1)
         parity = (rows + cols + hr + hc) % 2   # bm, bc even
@@ -2352,6 +2549,10 @@ def _whole_sweeps(uv, fv, nu, smoother, bc, hsq):
     om_quarter = jnp.asarray(omega * 0.25, dtype)
     c1w = fv * jnp.asarray(-hsq * 0.25 * omega, dtype)
     if smoother == "rbgs":
+        if _RBGS_PACKED and n % _LANE_CHUNK == 0:
+            return _rbgs_packed_sweeps(
+                uv, fv, nu, bc, hsq, halo=0, bm=n,
+                is_first=True, is_last=True)
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         parity = (rows + cols) % 2
