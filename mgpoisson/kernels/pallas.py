@@ -637,7 +637,6 @@ def _smooth_whole(u, f, *, h, nu, smoother, bc, interpret):
     """Whole-array-in-VMEM variant for levels that fit (n <= ~1024 f32)."""
     n = u.shape[0]
     hsq = h * h
-    adiag = -4.0 / hsq
 
     def kernel(u_ref, f_ref, out_ref):
         out_ref[:] = _whole_sweeps(u_ref[:], f_ref[:], nu, smoother,
@@ -2685,6 +2684,17 @@ def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
     in VMEM on the last pass, so stop='residual' costs no extra HBM
     round trip (the N9 host-sync elimination of `gpu.lua:361-369`
     taken to its conclusion)."""
+    if bc != "ghost0":
+        # contract: the rnorm is ALWAYS the zero-ghost fine-level
+        # operator (it is the solver's stopping metric; only the fine
+        # level calls this).  The fused kernels' rnorm blocks compute r
+        # with the smoothing bc, so for any external face-bc use keep
+        # the fast up-leg but take the metric separately.
+        u = prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
+        r = xla.residual(u, f, h, "ghost0")
+        acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
+        r = r.astype(acc)
+        return u, jnp.sum(r * r)
     if u.ndim == 3 and _supported3(u) and 1 <= nu:
         p3 = _plan3d(u.shape, nu, smoother,
                      jnp.dtype(u.dtype).itemsize, composite=True)

@@ -506,7 +506,11 @@ def _build_parts(spec, mesh):
             if r2l is None:
                 r = residual(psi_new, f, h0, "ghost0")
                 r2l = jnp.sum(r * r)
-            rn = jnp.sqrt(jax.lax.psum(r2l.astype(jnp.float32),
+            # accumulate in at least f32 (unifies the bf16 Pallas racc)
+            # but never BELOW the solve dtype — an f64 solve's stopping
+            # metric must not round through f32
+            acc_dt = jnp.promote_types(r2l.dtype, jnp.float32)
+            rn = jnp.sqrt(jax.lax.psum(r2l.astype(acc_dt),
                                        ("x", "y"))).astype(psi.dtype)
         return psi_new, err_upd, rn
 

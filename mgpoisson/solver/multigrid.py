@@ -301,9 +301,26 @@ class MultigridPoisson:
             init = (psi, jnp.int32(0), jnp.asarray(1.0, rdt),
                     jnp.int32(0), jnp.asarray(0.05, rdt), errs0,
                     jnp.int32(0))
-            psi, it, meas_err, _, _, errs, nmeas = jax.lax.while_loop(
+            psi, it, meas_err, meas_it, _, errs, nmeas = jax.lax.while_loop(
                 cond, body, init)
-            return psi, it, meas_err.astype(self._dtype), errs, nmeas
+
+            # if the loop exited at maxiter on a SKIPPED cycle, the last
+            # measurement is up to ADAPTIVE_MAX_SKIP-1 cycles stale —
+            # converged/final_err would then describe an older iterate
+            # than the returned psi.  Measure the final iterate exactly
+            # (metric only, no extra cycle).
+            def _remeasure(_):
+                psi_c = psi if constrain is None else constrain(psi)
+                f_c = f if constrain is None else constrain(f)
+                return (xla_ops.residual_norm(psi_c, f_c, h)
+                        / r0).astype(rdt)
+
+            stale = meas_it != it
+            err_fin = jax.lax.cond(stale, _remeasure,
+                                   lambda _: meas_err, 0)
+            errs = errs.at[it - 1].set(err_fin)
+            nmeas = nmeas + stale.astype(jnp.int32)
+            return psi, it, err_fin.astype(self._dtype), errs, nmeas
 
         return solve_loop
 
@@ -491,7 +508,9 @@ class MultigridPoisson:
         # reference hook reads mg.psi, `converge-…lua:23-27`).  Only
         # parameters WITHOUT defaults count toward the arity: a 2-arg
         # callback with an extra keyword default (cb(it, err,
-        # verbose=False)) must not be handed the full psi array
+        # verbose=False)) must not be handed the full psi array.  The
+        # corollary: to receive psi, declare it REQUIRED —
+        # cb(it, err, psi), not cb(it, err, psi=None)
         try:
             params = inspect.signature(error_callback).parameters.values()
             n_params = sum(

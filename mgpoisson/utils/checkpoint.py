@@ -106,6 +106,16 @@ def _stitch_local(z, name: str):
                           int(starts[d]) - lo[d] + data.shape[d])
                     for d in range(ndim))
         block[idx] = data
+    # the shards must tile the bounding box exactly — a process whose
+    # addressable shards are non-adjacent would otherwise get silent
+    # zero-filled gaps in its "local block"
+    n_filled = sum(d.size for _, d in shards)
+    if n_filled != block.size:
+        raise ValueError(
+            f"checkpoint shards for '{name}' do not tile this process's "
+            f"bounding box ({n_filled} elements over a {block.shape} "
+            f"block): the saving mesh gave this process non-contiguous "
+            f"shards, which this loader does not support")
     return block, gshape
 
 

@@ -117,6 +117,24 @@ def test_public_wrapper_rnorm(path, monkeypatch):
     _check(got_u, got_r2, u, f, V, h, 3, "wjacobi", "inject")
 
 
+def test_face_bc_rnorm_matches_xla_contract():
+    """bc='face' (never produced by the solver, but part of the public
+    signature): the rnorm must still be the ZERO-GHOST operator like
+    xla.prolong_correct_smooth_rnorm — the pallas wrapper takes the
+    metric separately in that case rather than letting the fused
+    kernels' face-bc residual leak into it."""
+    n = 256
+    u, f, V = _data(n, seed=9)
+    h = 1.0 / n
+    got_u, got_r2 = pk.prolong_correct_smooth_rnorm(
+        u, f, V, h, 2, "wjacobi", "face", "bilinear")
+    ref_u, ref_r2 = xla.prolong_correct_smooth_rnorm(
+        u, f, V, h, 2, "wjacobi", "face", "bilinear")
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(got_r2), float(ref_r2), rtol=2e-4)
+
+
 def test_solver_residual_stop_uses_fused_norm():
     """End-to-end: a residual-stop solve's error history equals
     ||r||/||r0|| computed independently on the returned history's

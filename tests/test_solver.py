@@ -267,6 +267,25 @@ def test_adaptive_stop_check_detects_nan():
     assert res.iterations <= MultigridPoisson.ADAPTIVE_MAX_SKIP + 1
 
 
+def test_adaptive_maxiter_mid_skip_reports_fresh_metric():
+    """Exiting at maxiter during a skip window must not report a stale
+    measurement: final_err is re-measured on the RETURNED iterate (an
+    unreachable tol forces skipping; maxiter=6 lands between the forced
+    measurements at cycles 1 and 5... plus the trailing remeasure)."""
+    kw = dict(size=64, dtype="float64", backend="xla", scheme="tuned",
+              stop="residual")
+    mg = MultigridPoisson(Spec(stop_check="adaptive", tol=1e-300,
+                               maxiter=6, **kw))
+    res = mg.solve()
+    assert not res.converged and res.iterations == 6
+    f = mg.rhs()
+    r0 = float(mg.residual_norm(-f, f))
+    true_rel = float(mg.residual_norm(res.psi, f)) / r0
+    np.testing.assert_allclose(res.final_err, true_rel, rtol=1e-10)
+    # the history's last entry is the measured value too
+    np.testing.assert_allclose(float(res.errs[-1]), true_rel, rtol=1e-10)
+
+
 def test_adaptive_stop_check_guards():
     import pytest
     with pytest.raises(ValueError):
