@@ -54,10 +54,7 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
         rec("u", u)
         if rnorm:
             from mgpoisson.kernels import xla as _xla
-            r = _xla.residual(u, f, h, "ghost0")
-            acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
-            r = r.astype(acc)
-            return u, jnp.sum(r * r)
+            return u, _xla.residual_sq_sum(u, f, h)
         return u
 
     if trace is not None:
@@ -97,10 +94,7 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
     if rnorm:
         if r2 is None:     # trace path: separate pass, correctness only
             from mgpoisson.kernels import xla as _xla
-            r = _xla.residual(u, f, h, "ghost0")
-            acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
-            r = r.astype(acc)
-            r2 = jnp.sum(r * r)
+            r2 = _xla.residual_sq_sum(u, f, h)
         return u, r2
     return u
 

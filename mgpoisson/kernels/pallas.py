@@ -2691,10 +2691,7 @@ def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
         # with the smoothing bc, so for any external face-bc use keep
         # the fast up-leg but take the metric separately.
         u = prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
-        r = xla.residual(u, f, h, "ghost0")
-        acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
-        r = r.astype(acc)
-        return u, jnp.sum(r * r)
+        return u, xla.residual_sq_sum(u, f, h)
     if u.ndim == 3 and _supported3(u) and 1 <= nu:
         p3 = _plan3d(u.shape, nu, smoother,
                      jnp.dtype(u.dtype).itemsize, composite=True)

@@ -296,6 +296,18 @@ def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
     return smooth(u, f, h, nu, smoother, bc)
 
 
+def residual_sq_sum(u, f, h):
+    """sum(r^2) of the fine-level zero-ghost operator, accumulated in
+    at least f32 (bf16 squared residuals underflow/cancel) — THE
+    stopping-metric accumulation rule, shared by every path that
+    computes it (fused rnorm composites, trace fallbacks, coarse-only
+    early return)."""
+    r = residual(u, f, h, "ghost0")
+    acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
+    r = r.astype(acc)
+    return jnp.sum(r * r)
+
+
 def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
                                  bc="ghost0", kind="inject"):
     """Up-leg + the squared residual norm of the result: (u, sum(r^2)).
@@ -307,10 +319,7 @@ def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
     conclusion).  The residual always uses the fine-level zero-ghost
     operator, matching residual_norm."""
     u = prolong_correct_smooth(u, f, V, h, nu, smoother, bc, kind)
-    r = residual(u, f, h, "ghost0")
-    acc = jnp.float32 if r.dtype == jnp.bfloat16 else r.dtype
-    r = r.astype(acc)
-    return u, jnp.sum(r * r)
+    return u, residual_sq_sum(u, f, h)
 
 
 # ------------------------------------------------------------------- metrics
