@@ -28,6 +28,36 @@ def newest_artifact() -> str:
     return paths[-1]
 
 
+def recover_truncated(record: dict) -> dict:
+    """Rebuild the bench dict from a driver artifact whose `tail` lost
+    the head of the JSON line (the driver keeps only the last 2000
+    chars of stdout; round 3's line was longer, so `parsed` is null and
+    the tail starts mid-way through the extra.metric_note string).
+
+    Everything from '"platform":' onward survives verbatim in the tail,
+    and the lost head fields are all derivable: the metric name is the
+    fixed f-string in bench.py, and value = the single-sweep 3-array
+    HBM round trip recomputed from the surviving smoother_nu1_time_ms
+    and size — so the recovered numbers still carry driver provenance.
+    """
+    tail = record["tail"]
+    idx = tail.find('"platform"')
+    if idx < 0:
+        raise SystemExit("artifact tail unrecoverable: no \"platform\" key")
+    extra = json.loads("{" + tail[idx:].rstrip()[:-1])  # strip outer '}'
+    size = extra["size"]
+    t_s1 = extra["smoother_nu1_time_ms"] / 1e3
+    gbps = 3 * size * size * 4 / 1e9 / t_s1
+    target = extra["roofline_target_gbps"]
+    return {
+        "metric": f"smoother_hbm_roundtrip_gbps_{size}x{size}_f32",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / target, 4),
+        "extra": extra,
+    }
+
+
 def fmt_ms(v) -> str:
     return "—" if v is None else f"{v:.2f} ms"
 
@@ -175,6 +205,9 @@ def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else newest_artifact()
     with open(path) as fh:
         bench = json.load(fh)
+    if isinstance(bench, dict) and "tail" in bench \
+            and bench.get("parsed") is None:
+        bench = recover_truncated(bench)
     block = render(bench, os.path.basename(path))
     readme = os.path.join(REPO, "README.md")
     with open(readme) as fh:
