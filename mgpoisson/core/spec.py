@@ -50,8 +50,9 @@ class Spec:
         to `dtype` accuracy even though nearly all the work runs in
         bf16 — a pure-bf16 solve, by contrast, stalls immediately: the
         fine-level residual of a smoothed iterate is all cancellation
-        below bf16's ~3 decimal digits.  Not yet wired into the
-        explicit partition='spmd' path.
+        below bf16's ~3 decimal digits.  Works on the single-device,
+        gspmd, and explicit-spmd paths (the spmd strip-kernel plan
+        re-resolves for the narrower dtype per shard).
       scheme:
         'reference' — exact parity with the reference algorithm:
           zero-ghost Dirichlet at every level, constant-injection
@@ -104,8 +105,10 @@ class Spec:
         detection latency).  Stopping decisions use only MEASURED
         values, so the converged answer is identical; skipped entries
         in the error history hold the model's estimate.  Amortized
-        metric overhead drops under ~2% of solve time.  Only the
-        single-device / gspmd full-precision path supports it.
+        metric overhead drops under ~2% of solve time.  Supported on
+        the single-device, gspmd, and explicit-spmd paths; rejected
+        under mixed-precision refinement (whose step computes the
+        full-precision residual every cycle anyway).
       maxiter: outer V-cycle budget (`cpu.lua:22`).
       h: grid spacing at the finest level.  The reference uses 1/size
         (`cpu.lua:198`, `cpu-raw.lua:242`); its cl.obj variant uses
@@ -125,8 +128,13 @@ class Spec:
         device).
       partition: how sharded execution is expressed — 'gspmd' (layout
         constraints per level; XLA's SPMD partitioner inserts the halo
-        collectives) or 'spmd' (explicit shard_map with hand-written
-        ppermute halo exchange, mgpoisson.shard.spmd).
+        collectives), 'spmd' (explicit shard_map with hand-written
+        ppermute halo exchange, mgpoisson.shard.spmd — the only path
+        that runs the fused Pallas strip kernels per shard, and
+        therefore the fast one at scale), or 'auto' (the default:
+        'spmd' whenever the mesh has the ('x','y') axes its
+        collectives address, else 'gspmd' — so construction with a
+        mesh dispatches to the strip kernels out of the box).
       replicate_below: level side at or below which sharded execution
         switches to replicated arrays (the cpuDepth handoff reborn:
         coarse grids are collective-latency-bound; `test/test.lua:42`
@@ -151,7 +159,7 @@ class Spec:
     pallas_min_size: int = 256
     coarse_size: int = 1
     mesh_shape: Optional[Tuple[int, ...]] = None
-    partition: str = "gspmd"
+    partition: str = "auto"
     replicate_below: int = 64
 
     def __post_init__(self):
@@ -190,7 +198,7 @@ class Spec:
                              "skipping)")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.partition not in ("gspmd", "spmd"):
+        if self.partition not in ("auto", "gspmd", "spmd"):
             raise ValueError(f"unknown partition {self.partition!r}")
         if not _is_pow2(self.coarse_size) or self.coarse_size > self.size:
             raise ValueError(f"bad coarse_size {self.coarse_size}")

