@@ -1,0 +1,107 @@
+"""Packed-persistent V-cycle: the fine level runs entirely in the
+checkerboard-packed layout.
+
+The reference's whole design goal was making the smoother sweep the
+only per-cycle cost (`gpu.lua:37-202`: everything else is transfers).
+This module makes the sweep itself ~2x cheaper: red-black Gauss-Seidel
+evaluates the 5-point stencil once per color instead of twice with
+half discarded (the where-select form), but realizing that win
+requires the state to LIVE in the packed layout — per-call packing
+costs ~0.7 ms of MXU selection matmuls at 4096^2 and loses at every
+production nu (docs/KERNELS.md).  Here the solver packs psi and f once
+per solve (mgpoisson.solver), every fine-level half-cycle runs the
+packed Pallas kernels (kernels/pallas.py `_packed_rr_fused` /
+`_packed_pc_fused`), and coarse levels run the normal unpacked path —
+the restriction output is already unpacked (a sublane pair-sum; coarse
+lane == packed lane), and the prolongation input is the unpacked
+coarse correction.
+
+Engages automatically (mgpoisson.solver checks `supported(spec)`):
+2D, single-device, f32/bf16, rbgs smoother, nu <= 3, fine side with a
+striped packed plan.  Force off with MGPOISSON_PACKED=0.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from mgpoisson.cycle import vcycle as _vc
+from mgpoisson.kernels import xla as _xla
+
+
+def _flag() -> str:
+    return os.environ.get("MGPOISSON_PACKED", "auto")
+
+
+def supported(spec) -> bool:
+    """True when the solve loop should run the packed-persistent fine
+    level.  Mirrors kernels.get_ops' gating plus the packed plan."""
+    if _flag() == "0":
+        return False
+    if spec.ndim != 2 or spec.mesh_shape is not None:
+        return False
+    if spec.smoother_resolved != "rbgs":
+        return False
+    if spec.cycle not in ("v", "w", "fmg"):
+        return False
+    if spec.backend == "xla":
+        return False
+    if spec.size <= spec.coarse_size or spec.size < spec.pallas_min_size:
+        return False
+    if jnp.dtype(spec.dtype) != jnp.float32:
+        # bf16 packed kernels pass the interpret-mode differentials,
+        # but the auto-engage is f32-only until the on-device parity
+        # sweep covers the bf16 packed geometry (Mosaic's bf16 crash
+        # modes are geometry-sensitive — docs/KERNELS.md catalogue)
+        return False
+    from mgpoisson.kernels import _tpu_available
+    if spec.backend == "auto" and not _tpu_available() \
+            and _flag() != "1":
+        return False
+    from mgpoisson.kernels import pallas as P
+    itemsize = jnp.dtype(spec.dtype).itemsize
+    return (P.packed_plan(spec.size, spec.nu_pre, itemsize) is not None
+            and P.packed_plan(spec.size, spec.nu_post, itemsize)
+            is not None)
+
+
+def pack(u):
+    from mgpoisson.kernels import pallas as P
+    return P.pack_grid(u)
+
+
+def unpack(up):
+    from mgpoisson.kernels import pallas as P
+    return P.unpack_grid(up)
+
+
+def make_packed_cycle(spec, rnorm: bool = False):
+    """Cycle function over PACKED fine-level state: (up, fp, h) -> up'
+    (or (up', sum(r^2)) with rnorm).  Coarse levels are the normal
+    unpacked `_cycle` recursion — bit-identical to the unpacked solve
+    below the fine level; the fine level differs by add-order rounding
+    only (tests/test_packed_persistent.py)."""
+    from mgpoisson.kernels import pallas as P
+    gamma = {"v": 1, "fmg": 1, "w": 2}[spec.cycle]
+
+    def cycle(up, fp, h):
+        up, Rc = P.packed_smooth_residual_restrict(up, fp, h,
+                                                   spec.nu_pre)
+        V = jnp.zeros_like(Rc)
+        for _ in range(gamma):
+            V = _vc._cycle(V, Rc, 2 * h, spec, gamma, False, None)
+        if rnorm:
+            return P.packed_prolong_correct_smooth_rnorm(
+                up, fp, V, h, spec.nu_post, kind=spec.prolong_kind)
+        return P.packed_prolong_correct_smooth(
+            up, fp, V, h, spec.nu_post, kind=spec.prolong_kind)
+
+    return cycle
+
+
+def residual_norm_packed(up, fp, h):
+    """||r|| from packed state (adaptive stop's stale-exit remeasure:
+    rare, so unpack-then-norm is fine)."""
+    return _xla.residual_norm(unpack(up), unpack(fp), h)

@@ -340,10 +340,30 @@ def _rbgs_packed_sweeps(uv, fv, nu, bc, hsq, *, halo, bm,
     xr, xb = jnp.where(er, ue, uo), jnp.where(er, uo, ue)
     ce, co = _lane_pack(c1, se), _lane_pack(c1, so)
     cr, cb = jnp.where(er, ce, co), jnp.where(er, co, ce)
+    xr, xb = _packed_core(xr, xb, cr, cb, nu, bc, halo=halo, bm=bm,
+                          is_first=is_first, is_last=is_last, edge=edge,
+                          hc=hc, bcw=bcw, cf=cf, cl=cl)
+    return _lane_unpack(jnp.where(er, xr, xb), jnp.where(er, xb, xr),
+                        se, so)
+
+
+def _packed_core(xr, xb, cr, cb, nu, bc, *, halo, bm, is_first, is_last,
+                 edge=True, hc=0, bcw=0, cf=None, cl=None):
+    """The sweep loop of _rbgs_packed_sweeps on ALREADY-PACKED color
+    arrays (xr/xb the red/black planes, cr/cb = -h^2/4 * f packed the
+    same way).  Shared by the per-call packed form above and the
+    packed-PERSISTENT kernels (_packed_rr_fused / _packed_pc_fused),
+    whose state never leaves the packed layout between solve
+    boundaries.  Returns (xr, xb) with the final boundary fixup
+    applied (ghost rows hold bc data — safe for residual reads)."""
+    R_, w = xr.shape
+    quarter = jnp.asarray(0.25, xr.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+    er = (rows % 2) == 0
     tg, bg = halo - 1, halo + bm
 
     if hc > 0:
-        pcols = jax.lax.broadcasted_iota(jnp.int32, (1, n_ // 2), 1)
+        pcols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
         m_cl = cf & (pcols <= hc // 2 - 1)
         m_cr = cl & (pcols >= (hc + bcw) // 2)
 
@@ -396,8 +416,28 @@ def _rbgs_packed_sweeps(uv, fv, nu, bc, hsq, *, halo, bm,
         xr, xb = bc_fix(xr, xb)
         xb = color_update(xb, xr, cb, red=False)
         xr, xb = bc_fix(xr, xb)
-    return _lane_unpack(jnp.where(er, xr, xb), jnp.where(er, xb, xr),
-                        se, so)
+    return xr, xb
+
+
+def _packed_residual(xr, xb, fr, fb, inv_hsq, er):
+    """Packed 5-point residual r = f - (nbr - 4u)/h^2 per color.
+
+    Neighbor identities (see the packed-layout header above): the four
+    neighbors of a red cell are black — vertically the SAME packed
+    lane, horizontally the same lane plus the row-parity-dependent
+    adjacent lane; symmetrically for black with the horizontal shift
+    direction flipped.  Ghost rows/columns must already hold bc data
+    (call after _packed_core; ghost0 column zeros are the natural
+    shift-in)."""
+    dtype = xr.dtype
+    c = jnp.asarray(inv_hsq, dtype)
+    nr = (_shift_sub_dn(xb) + _shift_sub_up(xb) + xb
+          + jnp.where(er, _shift_lane_r(xb), _shift_lane_l(xb)))
+    nb = (_shift_sub_dn(xr) + _shift_sub_up(xr) + xr
+          + jnp.where(er, _shift_lane_l(xr), _shift_lane_r(xr)))
+    r_r = fr - (nr - 4.0 * xr) * c
+    r_b = fb - (nb - 4.0 * xb) * c
+    return r_r, r_b
 
 
 # ------------------------------------------------- stripe DMA helpers
@@ -2726,6 +2766,428 @@ def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
             return u, jnp.sum(racc)
     return xla.prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother,
                                             bc, kind)
+
+
+# =====================================================================
+# packed-PERSISTENT fine-level kernels
+# =====================================================================
+# The per-call packed form above loses because each smooth pays ~0.7 ms
+# of pack/unpack MXU selection matmuls at 4096^2.  Here the fine-level
+# STATE stays checkerboard-packed in HBM across the entire solve:
+#
+#   up[:, :n/2] = xr (red plane),  up[:, n/2:] = xb (black plane)
+#
+# one (n, n) array per field, left half red, right half black — the
+# SAME shape and stripe-DMA geometry as the unpacked kernels, so the
+# manual double-buffered pipeline carries over unchanged.  Pack/unpack
+# happen once per solve (solver boundary, mgpoisson.cycle.packed), so
+# the 2.5x-cheaper packed sweep (6.89 -> 2.79 us/sweep at 1024^2,
+# tests/test_rbgs_packed.py) is finally realized.  Bonus: the level
+# transfers get CHEAPER than unpacked —
+#   restrict: coarse col J == packed lane j (xr[i,j] covers fine cols
+#     {2j, 2j+1} jointly with xb[i,j]), so the 2x2 mean is
+#     (r_red + r_black) summed over row pairs: a sublane pair-sum,
+#     replacing the lane-halve MXU matmul.
+#   prolong: repeat(V, 2, axis=0) lands DIRECTLY in packed lanes
+#     (coarse lanes == packed lanes), replacing the lane-double matmul;
+#     the bilinear lane blend becomes a +-1 packed-lane shift with
+#     parity-dependent direction per color.
+# Fine level only (86% of the cycle); coarse levels run the unpacked
+# path.  ghost0 bc only — the fine level's bc by problem definition
+# (`cpu.lua:41-55`: the reference's fine operator).
+
+
+def packed_plan(n: int, nu: int, itemsize: int):
+    """Stripe geometry for the packed-persistent kernels, or None.
+    rbgs-only (radius 2) + one exact ring for the fused residual."""
+    if nu < 1 or nu > 3 or n < _LANE_CHUNK or n % _LANE_CHUNK:
+        return None
+    halo, bm = _fused_plan(n, nu, "rbgs", itemsize, max_bm=n // 2)
+    if n // bm >= 2 and bm > 2 * halo and bm % 16 == 0 and halo <= 14:
+        return halo, bm
+    return None
+
+
+def pack_grid(u):
+    """(n, n) -> (n, n) packed [xr | xb].  Exact (0/1 selection
+    matmuls, one contributor per lane); pure jnp, runs anywhere."""
+    se, so = _pack_sel_mats(u.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], 1), 0)
+    er = (rows % 2) == 0
+    ue, uo = _lane_pack(u, se), _lane_pack(u, so)
+    return jnp.concatenate([jnp.where(er, ue, uo),
+                            jnp.where(er, uo, ue)], axis=1)
+
+
+def unpack_grid(up):
+    """Inverse of pack_grid (exact roundtrip)."""
+    w = up.shape[1] // 2
+    xr, xb = up[:, :w], up[:, w:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (up.shape[0], 1), 0)
+    er = (rows % 2) == 0
+    se, so = _pack_sel_mats(up.dtype)
+    return _lane_unpack(jnp.where(er, xr, xb), jnp.where(er, xb, xr),
+                        se, so)
+
+
+def _packed_prolong_stripe(vv, kind, is_first, is_last, chalo, bm):
+    """Expand a coarse stripe (bm/2 + 2*chalo, w) to the packed
+    red/black correction planes over fine rows
+    [i*bm - 2*chalo, i*bm + bm + 2*chalo).  Returns (Pr, Pb), each
+    (bm + 4*chalo, w) — coarse lanes ARE packed lanes, so 'inject' is
+    a pure sublane double and 'bilinear' adds the face-adapted blend
+    (row part identical to _bilinear_blend_2d; lane part a +-1 shift
+    whose direction flips with row parity and color)."""
+    dtype = vv.dtype
+    if kind == "bilinear" and dtype.itemsize < 4:
+        # same Mosaic sub-f32 parity-shift crash as _bilinear_blend_2d
+        pr, pb = _packed_prolong_stripe(vv.astype(jnp.float32), kind,
+                                        is_first, is_last, chalo, bm)
+        return pr.astype(dtype), pb.astype(dtype)
+    v2 = jnp.repeat(vv, 2, axis=0)              # fine rows, packed lanes
+    if kind == "inject":
+        return v2, v2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (v2.shape[0], 1), 0)
+    # zero the clipped stale-scratch ghost region: the +-2 row shift
+    # reads it at the grid edges and 0-weight still propagates 0*nan
+    v2 = jnp.where(is_first & (rows < 2 * chalo), 0.0, v2)
+    v2 = jnp.where(is_last & (rows >= bm + 2 * chalo), 0.0, v2)
+    # row blend: out[2I] = a*V[I] + b*V[I-1], out[2I+1] = a*V[I] +
+    # b*V[I+1]; (a, b) = (0.75, 0.25) interior, (0.5, 0) at global
+    # rows 0 / n-1 (local rows 2*chalo / bm + 2*chalo - 1)
+    zr2 = jnp.zeros_like(v2[:2, :])
+    vm = jnp.concatenate([zr2, v2[:-2, :]], axis=0)
+    vp = jnp.concatenate([v2[2:, :], zr2], axis=0)
+    er = (rows % 2) == 0
+    s0 = jnp.where(er, vm, vp)
+    row_edge = ((is_first & (rows == 2 * chalo))
+                | (is_last & (rows == bm + 2 * chalo - 1)))
+    a0 = jnp.where(row_edge, jnp.asarray(0.5, dtype),
+                   jnp.asarray(0.75, dtype))
+    b0 = jnp.where(row_edge, jnp.asarray(0.0, dtype),
+                   jnp.asarray(0.25, dtype))
+    B = a0 * v2 + b0 * s0
+    # lane blend per color: red holds fine col 2j + row%2, so its +-2
+    # fine-col partner is packed lane j-1 on even rows / j+1 on odd
+    # (black the mirror); global edge cols 0 / n-1 get (0.5, 0) at the
+    # parity-matching rows of each color
+    w = B.shape[1]
+    zc = jnp.zeros_like(B[:, :1])
+    bl = jnp.concatenate([zc, B[:, :-1]], axis=1)   # lane j-1
+    br = jnp.concatenate([B[:, 1:], zc], axis=1)    # lane j+1
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    half = jnp.asarray(0.5, dtype)
+    a_in = jnp.asarray(0.75, dtype)
+    b_in = jnp.asarray(0.25, dtype)
+
+    def blend(red):
+        s1 = jnp.where(er, bl, br) if red else jnp.where(er, br, bl)
+        if red:
+            edge = (er & (cols == 0)) | (~er & (cols == w - 1))
+        else:
+            edge = (er & (cols == w - 1)) | (~er & (cols == 0))
+        a1 = jnp.where(edge, half, a_in)
+        b1 = jnp.where(edge, jnp.asarray(0.0, dtype), b_in)
+        return a1 * B + b1 * s1
+
+    return blend(True), blend(False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "interpret", "halo", "bm"))
+def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
+                     halo: int, bm: int):
+    """Packed down-leg: nu rbgs sweeps + residual + 2x2 restrict, all
+    in the packed layout; one HBM round trip.  Returns (up', Rc) with
+    Rc the UNPACKED (n/2, n/2) coarse rhs (coarse levels run the
+    normal path).  ghost0 only (fine level)."""
+    n = up.shape[0]
+    w = n // 2
+    dtype = up.dtype
+    n_stripes = n // bm
+    assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    assert halo % 8 == 0
+    R_ = bm + 2 * halo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, out_hbm, rout_hbm,
+               us, fs, outs, routs, in_sems, out_sems, rout_sems):
+        def issue(i, slot):
+            _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("start", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
+
+        issue(0, 0)
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+            other = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                issue(i + 1, other)
+
+            _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("wait", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                us[other, pl.ds(0, 2 * halo)] = us[slot,
+                                                   pl.ds(bm, 2 * halo)]
+                fs[other, pl.ds(0, 2 * halo)] = fs[slot,
+                                                   pl.ds(bm, 2 * halo)]
+
+            is_first = i == 0
+            is_last = i == n_stripes - 1
+            uv, fv = us[slot], fs[slot]
+            xr, xb = uv[:, :w], uv[:, w:]
+            fr, fb = fv[:, :w], fv[:, w:]
+            mhq = jnp.asarray(-hsq * 0.25, dtype)
+            xr, xb = _packed_core(xr, xb, fr * mhq, fb * mhq, nu,
+                                  "ghost0", halo=halo, bm=bm,
+                                  is_first=is_first, is_last=is_last)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+            er = (rows % 2) == 0
+            r_r, r_b = _packed_residual(xr, xb, fr, fb, inv_hsq, er)
+            # 2x2 restrict: colors union each lane's fine-col pair, so
+            # sum colors then pair-sum rows — no lane matmul at all
+            s = (r_r + r_b)[halo:halo + bm, :]
+            Rv = s.reshape(bm // 2, 2, w).sum(axis=1) \
+                * jnp.asarray(0.25, dtype)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot], rout_hbm.at[pl.ds(0, bm // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = jnp.concatenate(
+                [xr[halo:halo + bm, :], xb[halo:halo + bm, :]], axis=1)
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(i * (bm // 2), 8),
+                                  bm // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+
+        for k in (n_stripes - 2, n_stripes - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot], rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
+                   jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        input_output_aliases=_alias(up),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_, n), dtype),            # packed u stripes
+            pltpu.VMEM((2, R_, n), dtype),            # packed f stripes
+            pltpu.VMEM((2, bm, n), dtype),            # u out stripes
+            pltpu.VMEM((2, bm // 2, n // 2), dtype),  # Rc out stripes
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(up, fp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "kind", "interpret", "halo", "bm",
+                     "rnorm"))
+def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
+                     interpret: bool, halo: int, bm: int,
+                     rnorm: bool = False):
+    """Packed up-leg: u += P(V) + nu rbgs sweeps in the packed layout;
+    V is the UNPACKED (n/2, n/2) coarse correction.  rnorm: also
+    return a (1, n) f32 row of column-partial sums of the result's
+    squared residual (free stop='residual', as _pc_smooth_fused)."""
+    n = up.shape[0]
+    w = n // 2
+    dtype = up.dtype
+    n_stripes = n // bm
+    assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    assert halo % 8 == 0 and halo <= 14
+    R_ = bm + 2 * halo
+    chalo = 8
+    Rc = bm // 2 + 2 * chalo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, v_hbm, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, outs, racc,
+             in_sems, out_sems, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, outs, in_sems, out_sems = rest
+
+        def issue(i, slot):
+            _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("start", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in("start", v_hbm, vs, in_sems.at[slot, 2], i, slot,
+                       bm // 2, chalo, n_stripes)
+
+        issue(0, 0)
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+            other = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                issue(i + 1, other)
+
+            _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in_fresh("wait", f_hbm, fs, in_sems.at[slot, 1], i,
+                             slot, bm, halo, n_stripes)
+            _stripe_in("wait", v_hbm, vs, in_sems.at[slot, 2], i, slot,
+                       bm // 2, chalo, n_stripes)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                us[other, pl.ds(0, 2 * halo)] = us[slot,
+                                                   pl.ds(bm, 2 * halo)]
+                fs[other, pl.ds(0, 2 * halo)] = fs[slot,
+                                                   pl.ds(bm, 2 * halo)]
+
+            is_first = i == 0
+            is_last = i == n_stripes - 1
+            pr, pb = _packed_prolong_stripe(vs[slot], kind, is_first,
+                                            is_last, chalo, bm)
+            lo = 2 * chalo - halo
+            uv, fv = us[slot], fs[slot]
+            fr, fb = fv[:, :w], fv[:, w:]
+            xr = uv[:, :w] + pr[lo:lo + R_, :]
+            xb = uv[:, w:] + pb[lo:lo + R_, :]
+            mhq = jnp.asarray(-hsq * 0.25, dtype)
+            xr, xb = _packed_core(xr, xb, fr * mhq, fb * mhq, nu,
+                                  "ghost0", halo=halo, bm=bm,
+                                  is_first=is_first, is_last=is_last)
+
+            if rnorm:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+                er = (rows % 2) == 0
+                r_r, r_b = _packed_residual(xr, xb, fr, fb, inv_hsq, er)
+                rv = jnp.concatenate(
+                    [r_r[halo:halo + bm, :], r_b[halo:halo + bm, :]],
+                    axis=1).astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = jnp.concatenate(
+                [xr[halo:halo + bm, :], xb[halo:halo + bm, :]], axis=1)
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+
+        for k in (n_stripes - 2, n_stripes - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((n, n), dtype)
+    scratch = [
+        pltpu.VMEM((2, R_, n), dtype),        # packed u stripes
+        pltpu.VMEM((2, R_, n), dtype),        # packed f stripes
+        pltpu.VMEM((2, Rc, w), dtype),        # V coarse stripes
+        pltpu.VMEM((2, bm, n), dtype),        # out stripes
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, n), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, n), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=out_specs,
+        input_output_aliases=_alias(up),
+        scratch_shapes=scratch + sems,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(up, fp, V)
+
+
+def packed_smooth_residual_restrict(up, fp, h, nu):
+    """Packed-persistent down-leg.  Caller guarantees packed_plan(...)
+    is not None (mgpoisson.cycle.packed gates support)."""
+    halo, bm = packed_plan(up.shape[0], nu,
+                           jnp.dtype(up.dtype).itemsize)
+    return _packed_rr_fused(up, fp, h=float(h), nu=nu,
+                            interpret=_interpret(), halo=halo, bm=bm)
+
+
+def packed_prolong_correct_smooth(up, fp, V, h, nu, kind="inject"):
+    """Packed-persistent up-leg."""
+    halo, bm = packed_plan(up.shape[0], nu,
+                           jnp.dtype(up.dtype).itemsize)
+    return _packed_pc_fused(up, fp, V, h=float(h), nu=nu, kind=kind,
+                            interpret=_interpret(), halo=halo, bm=bm)
+
+
+def packed_prolong_correct_smooth_rnorm(up, fp, V, h, nu,
+                                        kind="inject"):
+    """Packed-persistent up-leg + fused sum(r^2) of the result."""
+    halo, bm = packed_plan(up.shape[0], nu,
+                           jnp.dtype(up.dtype).itemsize)
+    u2, racc = _packed_pc_fused(up, fp, V, h=float(h), nu=nu, kind=kind,
+                                interpret=_interpret(), halo=halo,
+                                bm=bm, rnorm=True)
+    return u2, jnp.sum(racc)
 
 
 # =====================================================================

@@ -82,6 +82,10 @@ class MultigridPoisson:
         if sweep_dt == self._dtype:
             sweep_dt = None
         self._cycle_plain = None      # set only by adaptive stop_check
+        self._packed = False          # packed-persistent fine level
+        self._loop_step = None        # packed-carry step for the loop
+        self._pack_fns = None         # jitted (pack, unpack), lazy
+        self._loop_residual_norm = xla_ops.residual_norm
         if spec.stop_check == "adaptive" and sweep_dt is not None:
             raise ValueError("stop_check='adaptive' buys nothing under "
                              "mixed-precision refinement: the "
@@ -160,8 +164,40 @@ class MultigridPoisson:
                 return psi_new, err
         else:
             want_rnorm = spec.stop == "residual"
+            # Packed-persistent fine level (mgpoisson.cycle.packed):
+            # psi/f stay checkerboard-packed in HBM across the whole
+            # solve loop, so the rbgs sweep runs its 2.5x-cheaper
+            # packed form with NO per-call pack/unpack.  The jitted
+            # no-callback solve loop packs at entry and unpacks at
+            # exit (solve()); the public step()/callback/batched
+            # surfaces keep the unpacked step below.
+            from mgpoisson.cycle import packed as packed_mod
+            self._packed = packed_mod.supported(spec)
+            if self._packed:
+                pcycle = packed_mod.make_packed_cycle(spec,
+                                                      rnorm=want_rnorm)
+                if want_rnorm and spec.stop_check == "adaptive":
+                    self._cycle_plain = packed_mod.make_packed_cycle(
+                        spec, rnorm=False)
+                    self._cycle_rnorm = pcycle
+                    self._loop_residual_norm = \
+                        packed_mod.residual_norm_packed
+
+                def loop_step(psi, f, r0):
+                    if want_rnorm:
+                        psi_new, r2 = pcycle(psi, f, h)
+                        err = jnp.sqrt(r2).astype(r0.dtype) / r0
+                    else:
+                        psi_new = pcycle(psi, f, h)
+                        # update-RMS is permutation-invariant, so the
+                        # packed difference gives the exact metric
+                        err = xla_ops.rms_update(psi_new, psi)
+                    return psi_new, err
+
+                self._loop_step = loop_step
             cycle = make_cycle(spec, constrain=constrain, rnorm=want_rnorm)
-            if want_rnorm and spec.stop_check == "adaptive":
+            if (want_rnorm and spec.stop_check == "adaptive"
+                    and not self._packed):
                 # adaptive stopping needs the metric-free cycle too:
                 # far from tol the loop runs this one and predicts
                 # ||r|| instead of measuring it (see _adaptive_loop)
@@ -190,8 +226,9 @@ class MultigridPoisson:
                            else self._dtype)
         self._step_fn = step  # unjitted, for embedding in larger programs
         self._step = jax.jit(step)
-        self._solve_loop = jax.jit(self._build_solve_loop(step),
-                                   donate_argnums=(0,))
+        self._solve_loop = jax.jit(
+            self._build_solve_loop(self._loop_step or step),
+            donate_argnums=(0,))
         self._solve_batched_loops = {}  # built lazily by solve_batched
         self._fmg = None            # built lazily by init_state
 
@@ -330,7 +367,7 @@ class MultigridPoisson:
             def _remeasure(_):
                 psi_c = psi if constrain is None else constrain(psi)
                 f_c = f if constrain is None else constrain(f)
-                return (xla_ops.residual_norm(psi_c, f_c, h)
+                return (self._loop_residual_norm(psi_c, f_c, h)
                         / r0).astype(rdt)
 
             stale = meas_it != it
@@ -408,7 +445,18 @@ class MultigridPoisson:
             r0 = self._r0(psi, f)
 
         if error_callback is None:
+            if self._packed:
+                # pack once per solve (exact MXU selection matmuls);
+                # the loop carries packed state end to end
+                from mgpoisson.cycle import packed as packed_mod
+                if self._pack_fns is None:
+                    self._pack_fns = (jax.jit(packed_mod.pack),
+                                      jax.jit(packed_mod.unpack))
+                _pack, _unpack = self._pack_fns
+                psi, f = _pack(psi), _pack(f)
             psi, it, err, errs, nmeas = self._solve_loop(psi, f, r0)
+            if self._packed:
+                psi = _unpack(psi)
             it = int(it)
             err_f = float(err)
             converged = err_f < self.spec.tol and math.isfinite(err_f)
