@@ -371,6 +371,24 @@ def main():
             "fast_scheme_vcycle_ms": round(t_fc * 1e3, 4),
             "fast_scheme_solve_compute_ms": round(
                 res_fast.iterations * t_fc * 1e3, 3)}
+        # packed-persistent fine level (what mg_fast.solve() actually
+        # ran if engaged): the rbgs state stays checkerboard-packed in
+        # HBM across the solve, so the sweep runs its 2.5x-cheaper
+        # packed form with no per-call pack/unpack
+        if mg_fast._packed:
+            from mgpoisson.cycle import packed as _PK
+            _pc = _PK.make_packed_cycle(spec_fast)
+            fp_ = _PK.pack(f)
+            up_ = _PK.pack(psi)
+            t_pk = kt(lambda u, ff: _pc(u, ff, h), up_, consts=(fp_,))
+            _pcr = _PK.make_packed_cycle(spec_fast, rnorm=True)
+            t_pkr = kt(lambda u, ff: _pcr(u, ff, h)[0], up_,
+                       consts=(fp_,))
+            fast_extra.update({
+                "fast_packed_vcycle_ms": round(t_pk * 1e3, 4),
+                "fast_packed_vcycle_rnorm_ms": round(t_pkr * 1e3, 4),
+                "fast_packed_solve_compute_ms": round(
+                    res_fast.iterations * t_pkr * 1e3, 3)})
     except Exception as e:  # pragma: no cover
         fast_extra = {"fast_scheme_error":
                       f"{type(e).__name__}: {str(e)[:120]}"}

@@ -2799,10 +2799,20 @@ def prolong_correct_smooth_rnorm(u, f, V, h, nu, smoother="jacobi",
 
 def packed_plan(n: int, nu: int, itemsize: int):
     """Stripe geometry for the packed-persistent kernels, or None.
-    rbgs-only (radius 2) + one exact ring for the fused residual."""
+    rbgs-only (radius 2) + one exact ring for the fused residual.
+
+    Buffer census is 5 full-width buffer-rows (u in x2, f in x2, out
+    x2 at bm plus the quarter-size Rc/V stripes), tighter than
+    _fused_plan's 6 — the difference matters at 16384^2 f32, where it
+    admits bm=32 striping.  Thin stripes cost no extra HBM traffic:
+    the halo head is a VMEM handoff from the previous stripe's buffer
+    (_stripe_in_fresh), unlike the wide kernels' 128-lane column halo
+    which is redundant DMA every block."""
     if nu < 1 or nu > 3 or n < _LANE_CHUNK or n % _LANE_CHUNK:
         return None
-    halo, bm = _fused_plan(n, nu, "rbgs", itemsize, max_bm=n // 2)
+    halo = -(-(2 * nu + 1) // 8) * 8
+    bm = _pick_bm(n, halo, itemsize, n_bufs=5, smoother="rbgs",
+                  max_bm=n // 2)
     if n // bm >= 2 and bm > 2 * halo and bm % 16 == 0 and halo <= 14:
         return halo, bm
     return None
