@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints ONE compact JSON line (the driver
+artifact) and writes the full measurement set to BENCH_extras.json.
 
 Headline (honest physical number): ONE smoother sweep's HBM round
 trip — (read u + read f + write u) = 3 arrays divided by kernel wall
@@ -8,28 +9,35 @@ vs_baseline is that number over the target (80% of the 819 GB/s v5e
 HBM roofline = 655 GB/s); >= 1.0 means the sweep meets the roofline
 target.
 
-The production kernels fuse all nu sweeps into one round trip.  At
-nu=2 that is still DMA-bound; at the tuned scheme's nu=3 the kernel
-turns VPU-bound — its physical bandwidth drops below the target while
-its per-sweep effective bandwidth (nu*3 arrays of useful work per
-round trip, what an unfused implementation would have to move) rises
-to ~1.9x the roofline.  All of these are reported in extras, labeled
-for what they are.
+Execution model (why this file is shaped the way it is): the driver
+runs `python bench.py` under a timeout and captures only the LAST
+~2000 chars of stdout.  Earlier rounds lost their artifact twice — once
+to a final line that overflowed that capture, once to a wedged
+remote-compile relay that produced no output at all before the timeout.
+So this harness is:
 
-Also in extras: fused half-level kernel times (pre-smooth+residual+
-restrict and prolong+correct+post-smooth), V-cycle wall time at 4096^2,
-V-cycles to 1e-10 relative residual (north star: <10), 3D V-cycle at
-256^3 (Pallas-blocked smoother), solve wall time, and the 16384^2
-single-chip config-5 numbers (guarded: compile payloads at that size
-can exceed the remote-compile relay's request limit — reported null if
-so).  On non-TPU hosts a reduced size keeps the harness runnable.
+- **sectioned, headline-first**: measurements run in descending order
+  of importance (smoother -> V-cycle -> solve -> fast/packed ->
+  config5 -> the rest); each section is independently guarded.
+- **deadline-aware**: MGPOISSON_BENCH_DEADLINE (seconds, default 1150)
+  is a hard budget.  Between sections, the remaining budget gates
+  whether the next section starts; a watchdog thread force-emits
+  whatever has been measured if anything blocks past the deadline
+  (a hung remote compile cannot be interrupted from Python).
+- **relay-stall aware**: a small warm-up jit runs first under its own
+  timeout; if even that cannot compile, the harness emits a parseable
+  `{"error": "compile-relay stalled"}` line instead of burning the
+  whole driver budget in silence.
+- **one stdout line**: progress markers go to stderr; stdout carries
+  exactly one JSON object, trimmed to <= ~1.8 KB (tracked BASELINE
+  metrics only).  Everything measured lands in BENCH_extras.json,
+  rewritten after every section so a hard kill still leaves the
+  full trail.
 
 Timing: chained applications inside one jit (lax.scan) at two lengths;
 the difference cancels fixed dispatch/sync overhead.  A scalar readback
 forces a true device sync (block_until_ready alone does not synchronize
-through remote-relay transports).  Long chains (k2-k1 >= 200 kernel
-applications) keep the delta well above relay jitter — short chains
-were measured to mis-time sub-ms kernels by 2x either way.
+through remote-relay transports).
 
 This is the TPU rebuild of the reference's wall-time harness
 (`test/test.lua:44-76`); kernel-level GB/s replaces its TODO'd OpenCL
@@ -41,15 +49,28 @@ from __future__ import annotations
 import functools
 import json
 import math
+import os
+import sys
+import threading
 import time
 
 import jax
+
+# the environment's site hook pins JAX_PLATFORMS=axon (the TPU relay)
+# before user code runs, so the env var alone cannot select CPU; honor
+# an explicit CPU request here (the CI smoke runs at toy sizes on CPU)
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 V5E_HBM_GBPS = 819.0           # v5e HBM peak
 TARGET_FRACTION = 0.8          # BASELINE.md: >=80% of roofline
-
-import os
+FINAL_LINE_BUDGET = 1800       # driver tail capture is ~2000 chars
+EXTRAS_PATH = os.environ.get(
+    "MGPOISSON_BENCH_EXTRAS",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_extras.json"))
 
 # persistent compile cache: Mosaic compiles through the remote-compile
 # relay run ~30-60 s each; cached reruns of this harness skip them all
@@ -64,447 +85,42 @@ except Exception:  # pragma: no cover - older jax
 
 from mgpoisson.bench.timing import chain_time, sync as _sync
 
+_T0 = time.monotonic()
+_DEADLINE = float(os.environ.get("MGPOISSON_BENCH_DEADLINE", "1150"))
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 
-def main():
-    from mgpoisson import MultigridPoisson, Spec
-    from mgpoisson.kernels import get_ops
-    from mgpoisson.kernels import xla as xla_ops
-    from mgpoisson.cycle.vcycle import v_cycle
+# everything measured; the final line carries a tracked subset
+EXTRAS: dict = {}
+# keys (in EXTRAS) promoted to the final line, in drop-last priority
+# order: if the line overflows the budget, keys are dropped from the
+# END of this list first
+TRACKED_KEYS = [
+    "platform", "size", "vcycle_time_ms",
+    "vcycles_to_1e-10_relres", "vcycles_to_1e-10_rbgs",
+    "fast_packed_vcycle_ms", "config5_16384",
+    "solve_wall_s", "fast_scheme_cycles_to_1e-10",
+    "fast_scheme_solve_compute_ms",
+    "spmd_vs_unsharded_vcycle",
+    "kernel_parity_max_err", "kernel_parity_n_cases",
+    "kernel_parity_failures",
+    "vcycle_rnorm_time_ms", "fmg_vcycles_to_1e-10",
+    "smoother", "nu", "sections_done", "sections_skipped",
+    "roofline_target_gbps", "extras_file", "elapsed_s",
+]
 
-    platform = jax.default_backend()
-    on_tpu = platform == "tpu"
-    size = int(os.environ.get("MGPOISSON_BENCH_SIZE",
-                              4096 if on_tpu else 512))
-    # long chains for sub-ms kernels on TPU; short everywhere else
-    kt = functools.partial(chain_time, k1=20, k2=220, tries=5) if on_tpu \
-        else chain_time
 
-    spec = Spec(size=size, dtype="float32", scheme="tuned", backend="auto",
-                stop="residual", tol=1e-10)
-    nu = spec.nu_pre
-    sm = spec.smoother_resolved
-    mg = MultigridPoisson(spec)
-    f = mg.rhs()
-    psi = mg.init_state(f)
-    h = spec.fine_h
-    ops = get_ops(spec, size)
+def _elapsed() -> float:
+    return time.monotonic() - _T0
 
-    bytes_per = jnp.dtype(spec.dtype).itemsize
-    n_cells = size * size
-    GB = lambda arrays: arrays * n_cells * bytes_per / 1e9
 
-    # --- headline: single-sweep HBM round trip — the literal BASELINE
-    # metric ("smoother sweep bandwidth"): one sweep reads u, reads f,
-    # writes u = 3 arrays through the same striped DMA pipeline the
-    # fused kernels use
-    t_s1 = kt(lambda u, ff: ops.smooth(u, ff, h, 1, sm, "ghost0"), psi,
-              consts=(f,))
-    smoother_roundtrip_gbps = GB(3) / t_s1
+def _remaining() -> float:
+    return _DEADLINE - _elapsed()
 
-    # nu=2: the deepest fusion that stays DMA-bound
-    t_s2 = kt(lambda u, ff: ops.smooth(u, ff, h, 2, sm, "ghost0"), psi,
-              consts=(f,))
 
-    # --- production depth (scheme nu): physical + per-sweep effective
-    t_s = kt(lambda u, ff: ops.smooth(u, ff, h, nu, sm, "ghost0"), psi,
-             consts=(f,))
-    smoother_nu_phys_gbps = GB(3) / t_s
-    smoother_nu_effective_gbps = GB(3 * nu) / t_s
-
-    # --- fused half-level kernels (one HBM round trip each).  The
-    # chained carry must depend on BOTH outputs via a runtime zero, or
-    # XLA dead-code-eliminates the residual+restrict work on the XLA
-    # fallback path (a literal 0.0 would constant-fold)
-    z = jnp.zeros((), psi.dtype)
-
-    def _rr_chain(u, ff, zz):
-        u2, R = ops.smooth_residual_restrict(u, ff, h, nu, sm, "ghost0")
-        # one-element update, not a full-grid add: ties R into the
-        # carry (DCE guard) without adding an unaccounted array pass
-        return u2.at[0, 0].add(zz * R[0, 0])
-
-    t_rr = kt(_rr_chain, psi, consts=(f, z))
-    V = jnp.zeros((size // 2,) * 2, psi.dtype)
-    t_pc = kt(lambda u, ff, VV: ops.prolong_correct_smooth(
-        u, ff, VV, h, nu, sm, "ghost0", spec.prolong_kind), psi,
-        consts=(f, V))
-
-    # --- full V-cycle
-    t_vcycle = kt(lambda u, ff: v_cycle(u, ff, h, spec), psi, consts=(f,))
-
-    # --- free residual stopping: the rnorm-fused cycle (sum(r^2) taken
-    # from the up-leg kernel's drain) vs the plain cycle — the metric
-    # must cost <3% of the cycle, not a separate full-grid pass
-    from mgpoisson.cycle.vcycle import v_cycle_rnorm
-
-    def _rn_chain(u, ff, zz):
-        u2, r2 = v_cycle_rnorm(u, ff, h, spec)
-        return u2.at[0, 0].add(zz * r2)
-
-    t_vrn = kt(_rn_chain, psi, consts=(f, z))
-    rstop_overhead_pct = 100.0 * (t_vrn - t_vcycle) / t_vcycle
-
-    # --- stop_check='adaptive': the amortized metric cost over a real
-    # solve.  Exact ||r|| cycles run only when the learned contraction
-    # model predicts the residual is near tol (plus a periodic forced
-    # check); n_metric_evals counts them, and the chained per-cycle
-    # timings price them: overhead = nmeas*(t_vrn-t_vcycle) spread over
-    # iterations*t_vcycle of cycle work
-    adaptive_extra = {}
-    try:
-        mg_a = MultigridPoisson(spec.with_(stop_check="adaptive"))
-        res_a = mg_a.solve(f)
-        adaptive_extra = {
-            "adaptive_cycles": res_a.iterations,
-            "adaptive_metric_evals": res_a.n_metric_evals,
-            "adaptive_converged": bool(res_a.converged),
-            "adaptive_stop_overhead_pct": round(
-                100.0 * res_a.n_metric_evals * (t_vrn - t_vcycle)
-                / (res_a.iterations * t_vcycle), 2),
-        }
-    except Exception as e:  # pragma: no cover
-        adaptive_extra = {"adaptive_error":
-                          f"{type(e).__name__}: {str(e)[:120]}"}
-
-    # --- bf16: half the HBM bytes per cell -> the sweep should run
-    # ~2x faster than f32 at the same GB/s (bandwidth-bound check)
-    psi_bf = psi.astype(jnp.bfloat16)
-    f_bf = f.astype(jnp.bfloat16)
-    t_s1_bf = kt(lambda u, ff: ops.smooth(u, ff, h, 1, sm, "ghost0"),
-                 psi_bf, consts=(f_bf,))
-    bf16_phys_gbps = (3 * n_cells * 2) / 1e9 / t_s1_bf
-
-    # --- bf16 end-to-end story, two numbers:
-    # (a) pure-bf16 solve floor: the final f32-measured relative
-    #     residual of an all-bf16 solve — documents that bf16 residuals
-    #     stall/diverge (cancellation below ~3 decimal digits), which
-    #     is WHY refinement exists;
-    # (b) mixed refinement (Spec.sweep_dtype='bfloat16'): bf16 V-cycles
-    #     on the error equation inside an f32 outer loop — f32-level
-    #     accuracy, bandwidth-priced sweeps.  Reported: cycles to the
-    #     f32 target and the per-refinement-step time vs the f32 cycle.
-    bf16_floor = {}
-    try:
-        spec_bf = spec.with_(dtype="bfloat16", tol=1e-30, maxiter=12)
-        mg_bf = MultigridPoisson(spec_bf)
-        f_bf16 = mg_bf.rhs()
-        res_bf = mg_bf.solve(f_bf16)
-        _sync(res_bf.psi)
-        p32 = res_bf.psi.astype(jnp.float32)
-        f32r = f_bf16.astype(jnp.float32)
-        rr32 = ops.residual(p32, f32r, h, "ghost0")
-        rel_bf = float(jnp.linalg.norm(rr32.astype(jnp.float32))
-                       / jnp.linalg.norm(f32r))
-        bf16_floor = {"bf16_solve_floor_relres": float(f"{rel_bf:.3e}"),
-                      "bf16_solve_cycles": res_bf.iterations}
-    except Exception as e:  # pragma: no cover
-        bf16_floor = {"bf16_floor_error":
-                      f"{type(e).__name__}: {str(e)[:120]}"}
-    try:
-        spec_mx = spec.with_(sweep_dtype="bfloat16")
-        mg_mx = MultigridPoisson(spec_mx)
-        res_mx = mg_mx.solve(f)
-        _sync(res_mx.psi)
-        rel_mx = float(xla_ops.residual_norm(res_mx.psi, f, h)
-                       / xla_ops.residual_norm(mg_mx.init_state(f), f, h))
-        t_mx = kt(lambda u, ff: mg_mx._step_fn(
-            u, ff, jnp.asarray(1.0, jnp.float32))[0], psi, consts=(f,))
-        bf16_floor.update({
-            "mixed_bf16_cycles_to_tol": res_mx.iterations,
-            "mixed_bf16_converged": bool(res_mx.converged),
-            "mixed_bf16_final_relres": float(f"{rel_mx:.3e}"),
-            "mixed_bf16_step_time_ms": round(t_mx * 1e3, 4)})
-    except Exception as e:  # pragma: no cover
-        bf16_floor["mixed_bf16_error"] = (
-            f"{type(e).__name__}: {str(e)[:120]}")
-
-    # --- explicit shard_map partition on a (1,1) mesh: the per-shard
-    # fused strip kernels must keep the single-chip win under sharding
-    # (VERDICT r2 item 1 gate: within ~10% of the unsharded V-cycle)
-    spmd_extra = {}
-    if on_tpu:
-        try:
-            from mgpoisson.shard.mesh import build_mesh
-            from mgpoisson.shard.spmd import build_spmd_step
-            spec_s = spec.with_(mesh_shape=(1, 1), partition="spmd")
-            mesh1 = build_mesh((1, 1), devices=jax.devices()[:1])
-            sstep = jax.jit(build_spmd_step(spec_s, mesh1))
-            t_spmd = kt(lambda u, ff: sstep(u, ff)[0], psi, consts=(f,))
-            # like-for-like: the spmd step includes the residual-norm
-            # metric (fused into its up-leg strip kernel), so compare
-            # against the rnorm-fused unsharded cycle
-            spmd_extra = {
-                "spmd_1x1_step_ms": round(t_spmd * 1e3, 4),
-                "spmd_vs_unsharded_vcycle":
-                    round(t_spmd / t_vrn, 4)}
-        except Exception as e:  # pragma: no cover
-            spmd_extra = {"spmd_error":
-                          f"{type(e).__name__}: {str(e)[:120]}"}
-        try:
-            # 3D analog: the z-strip kernels on a (1,1) mesh (the
-            # sharded 3D fine level must keep the fused-kernel win)
-            from mgpoisson.shard.mesh import build_mesh
-            from mgpoisson.shard.spmd import build_spmd_step
-            spec3s = Spec(size=256, ndim=3, dtype="float32",
-                          scheme="tuned", backend="auto",
-                          pre_smooth=nu, post_smooth=nu,
-                          mesh_shape=(1, 1), partition="spmd",
-                          stop="residual")
-            mesh1 = build_mesh((1, 1), devices=jax.devices()[:1])
-            sstep3 = jax.jit(build_spmd_step(spec3s, mesh1))
-            f3s = jnp.zeros((256,) * 3, jnp.float32).at[
-                (128,) * 3].set(-1e6)
-            t_spmd3 = kt(lambda u, ff: sstep3(u, ff)[0], -f3s,
-                         consts=(f3s,))
-            spmd_extra["spmd3d_1x1_step_ms"] = round(t_spmd3 * 1e3, 4)
-        except Exception as e:  # pragma: no cover
-            spmd_extra["spmd3d_error"] = (
-                f"{type(e).__name__}: {str(e)[:120]}")
-
-    # --- compiled-kernel parity sweep (every Pallas path vs the XLA
-    # ops, ON DEVICE — the reference's cross-implementation diffing
-    # where the Mosaic kernels actually execute).  Skippable for quick
-    # local runs with MGPOISSON_BENCH_PARITY=0.
-    parity_extra = {}
-    if on_tpu and os.environ.get("MGPOISSON_BENCH_PARITY", "1") != "0":
-        try:
-            from mgpoisson.bench.parity import run_parity
-            pres = run_parity(full=False)
-            parity_extra = {
-                "kernel_parity_max_err": pres["max_err_f32"],
-                "kernel_parity_worst": pres["worst_f32"],
-                "kernel_parity_max_err_bf16": pres["max_err_bf16"],
-                "kernel_parity_n_cases": pres["n_cases"]}
-            if pres["failures"]:
-                parity_extra["kernel_parity_failures"] = pres["failures"]
-        except Exception as e:  # pragma: no cover
-            parity_extra = {"kernel_parity_error":
-                            f"{type(e).__name__}: {str(e)[:120]}"}
-
-    # --- 3D (BASELINE config 4): 256^3 V-cycle, 7-point Laplacian,
-    # Pallas-blocked fused smoother on TPU
-    size3 = int(os.environ.get("MGPOISSON_BENCH_SIZE3",
-                               256 if on_tpu else 64))
-    spec3 = Spec(size=size3, ndim=3, dtype="float32", scheme="tuned",
-                 backend="auto" if on_tpu else "xla",
-                 pre_smooth=nu, post_smooth=nu)
-    f3 = jnp.zeros((size3,) * 3, jnp.float32).at[
-        (size3 // 2,) * 3].set(-1e6)
-    t_vcycle3 = chain_time(
-        lambda u, ff: v_cycle(u, ff, spec3.fine_h, spec3), -f3,
-        consts=(f3,))
-    extra3 = {}
-    if on_tpu:
-        try:
-            # 3D scaling point: 512^3 (0.5 GB/array) through the same
-            # (z, y)-blocked kernels
-            spec3b = spec3.with_(size=512)
-            f3b = jnp.zeros((512,) * 3, jnp.float32).at[
-                (256,) * 3].set(-1e6)
-            t3b = chain_time(
-                lambda u, ff: v_cycle(u, ff, spec3b.fine_h, spec3b),
-                -f3b, consts=(f3b,))
-            extra3["vcycle3d_512_time_ms"] = round(t3b * 1e3, 4)
-        except Exception as e:  # pragma: no cover
-            extra3["vcycle3d_512_error"] = (
-                f"{type(e).__name__}: {str(e)[:120]}")
-        try:
-            # batched serving: 4 RHS per program at 1024^2 through the
-            # per-element tuple-carry loop (Pallas kernels per element);
-            # chained timing (relay-safe) of one batched cycle + a
-            # correctness gate on the until-converged API
-            specb = Spec(size=1024, dtype="float32", scheme="tuned",
-                         backend="auto", stop="residual", tol=1e-10,
-                         pre_smooth=nu, post_smooth=nu)
-            mgb = MultigridPoisson(specb)
-            fsb = jnp.zeros((4, 1024, 1024), jnp.float32).at[
-                :, 512, 512].set(-1e6)
-            psb, esb = mgb.solve_batched(fsb)
-            extra3["batched4_1024_max_metric"] = float(jnp.max(esb))
-            loop1 = mgb._batched_loop(1)
-            r0sb = jnp.ones((4,), jnp.float32)
-            t_b = chain_time(
-                lambda ps, ff: loop1(ps, ff, r0sb)[0], -fsb,
-                consts=(fsb,))
-            extra3["batched4_1024_cycle_ms"] = round(t_b * 1e3, 4)
-        except Exception as e:  # pragma: no cover
-            extra3["batched_error"] = (
-                f"{type(e).__name__}: {str(e)[:120]}")
-
-    # --- V-cycles and wall time to 1e-10 relative residual (north star <10)
-    res = mg.solve(f)          # compile outside the timed region
-    _sync(res.psi)
-    t_solve = float("inf")
-    for _ in range(2):         # best-of-2: single-shot sync jitter is
-        psi0 = mg.init_state(f)    # tens of ms through the relay
-        t0 = time.perf_counter()
-        res = mg.solve(f, psi0=psi0)
-        _sync(res.psi)
-        t_solve = min(t_solve, time.perf_counter() - t0)
-    cycles_to_tol = res.iterations if res.converged else -1
-
-    # --- rbgs scheme (the stronger smoother): cycles to tolerance —
-    # the north-star gate with margin (2 cycles vs wjacobi's 9)
-    spec_rb = Spec(size=size, dtype="float32", scheme="tuned",
-                   smoother="rbgs", backend="auto", stop="residual",
-                   tol=1e-10)
-    res_rb = MultigridPoisson(spec_rb).solve()
-    _sync(res_rb.psi)
-    cycles_rbgs = res_rb.iterations if res_rb.converged else -1
-
-    # --- scheme='fast' (rbgs 1+1): the minimum-total-compute solve of
-    # the tools/tune_scheme.py sweep — same 2-cycle convergence at
-    # ~0.7x the rbgs-3+3 cycle cost (2.4 ms total vs tuned's 12.6 at
-    # 4096^2 on v5e)
-    fast_extra = {}
-    try:
-        spec_fast = Spec(size=size, dtype="float32", scheme="fast",
-                         backend="auto", stop="residual", tol=1e-10)
-        mg_fast = MultigridPoisson(spec_fast)
-        res_fast = mg_fast.solve(f)
-        _sync(res_fast.psi)
-        t_fc = kt(lambda u, ff: v_cycle(u, ff, h, spec_fast), psi,
-                  consts=(f,))
-        fast_extra = {
-            "fast_scheme_cycles_to_1e-10": (res_fast.iterations
-                                            if res_fast.converged else -1),
-            "fast_scheme_vcycle_ms": round(t_fc * 1e3, 4),
-            "fast_scheme_solve_compute_ms": round(
-                res_fast.iterations * t_fc * 1e3, 3)}
-        # packed-persistent fine level (what mg_fast.solve() actually
-        # ran if engaged): the rbgs state stays checkerboard-packed in
-        # HBM across the solve, so the sweep runs its 2.5x-cheaper
-        # packed form with no per-call pack/unpack
-        if mg_fast._packed:
-            from mgpoisson.cycle import packed as _PK
-            _pc = _PK.make_packed_cycle(spec_fast)
-            fp_ = _PK.pack(f)
-            up_ = _PK.pack(psi)
-            t_pk = kt(lambda u, ff: _pc(u, ff, h), up_, consts=(fp_,))
-            _pcr = _PK.make_packed_cycle(spec_fast, rnorm=True)
-            t_pkr = kt(lambda u, ff: _pcr(u, ff, h)[0], up_,
-                       consts=(fp_,))
-            fast_extra.update({
-                "fast_packed_vcycle_ms": round(t_pk * 1e3, 4),
-                "fast_packed_vcycle_rnorm_ms": round(t_pkr * 1e3, 4),
-                "fast_packed_solve_compute_ms": round(
-                    res_fast.iterations * t_pkr * 1e3, 3)})
-    except Exception as e:  # pragma: no cover
-        fast_extra = {"fast_scheme_error":
-                      f"{type(e).__name__}: {str(e)[:120]}"}
-
-    # --- FMG-initialized solve: full multigrid reaches discretization
-    # accuracy in one O(N) pass, then V-cycles polish (1 cycle to the
-    # 1e-10 gate at 4096^2)
-    spec_f = Spec(size=size, dtype="float32", scheme="tuned",
-                  backend="auto", stop="residual", tol=1e-10,
-                  cycle="fmg")
-    mg_f = MultigridPoisson(spec_f)
-    res_f = mg_f.solve(f)
-    _sync(res_f.psi)
-    t_fmg = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res_f = mg_f.solve(f)      # includes the FMG init pass
-        _sync(res_f.psi)
-        t_fmg = min(t_fmg, time.perf_counter() - t0)
-    cycles_fmg = res_f.iterations if res_f.converged else -1
-
-    # --- config 5 single chip: 16384^2 (guarded: the unrolled 14-level
-    # program can exceed the remote-compile relay's payload limit)
-    cfg5 = {"vcycle_time_ms": None, "cycles": None, "solve_wall_s": None}
-    if on_tpu:
-        try:
-            spec5 = Spec(size=16384, dtype="float32", scheme="tuned",
-                         stop="residual", tol=1e-10)
-            mg5 = MultigridPoisson(spec5)
-            f5 = mg5.rhs()
-            psi5 = mg5.init_state(f5)
-            t5 = chain_time(lambda u, ff: v_cycle(u, ff, spec5.fine_h,
-                                                  spec5),
-                            psi5, k1=4, k2=24, tries=3, consts=(f5,))
-            res5 = mg5.solve(f5)
-            _sync(res5.psi)
-            w5 = float("inf")
-            for _ in range(2):
-                p5 = mg5.init_state(f5)
-                t0 = time.perf_counter()
-                res5 = mg5.solve(f5, psi0=p5)
-                _sync(res5.psi)
-                w5 = min(w5, time.perf_counter() - t0)
-            cfg5 = {"vcycle_time_ms": round(t5 * 1e3, 4),
-                    "cycles": res5.iterations if res5.converged else -1,
-                    "solve_wall_s": round(w5, 4)}
-            # scheme='fast' at config-5 scale: 2 rbgs-1+1 cycles
-            spec5f = spec5.with_(scheme="fast")
-            mg5f = MultigridPoisson(spec5f)
-            res5f = mg5f.solve(f5)
-            _sync(res5f.psi)
-            t5f = chain_time(lambda u, ff: v_cycle(
-                u, ff, spec5f.fine_h, spec5f), psi5,
-                k1=4, k2=24, tries=3, consts=(f5,))
-            cfg5["fast_cycles"] = (res5f.iterations
-                                   if res5f.converged else -1)
-            cfg5["fast_vcycle_time_ms"] = round(t5f * 1e3, 4)
-            cfg5["fast_solve_compute_ms"] = round(
-                res5f.iterations * t5f * 1e3, 2)
-        except Exception as e:  # pragma: no cover - relay-dependent
-            cfg5["error"] = f"{type(e).__name__}: {str(e)[:120]}"
-
-    target = TARGET_FRACTION * V5E_HBM_GBPS
-    out = {
-        "metric": f"smoother_hbm_roundtrip_gbps_{size}x{size}_f32",
-        "value": round(smoother_roundtrip_gbps, 2),
-        "unit": "GB/s",
-        "vs_baseline": round(smoother_roundtrip_gbps / target, 4),
-        "extra": {
-            "metric_note": ("physical 3-array round trip of ONE smoother "
-                            "sweep (the BASELINE.md per-sweep bandwidth "
-                            "metric); deeper fusion trades this "
-                            "bandwidth for compute - see smoother_nu* "
-                            "fields (nu=2 is the deepest DMA-bound "
-                            "fusion, the scheme's nu=3 is VPU-bound)"),
-            "platform": platform,
-            "size": size,
-            "smoother": sm,
-            "nu": nu,
-            "backend_fine_level": ops.__name__.split(".")[-1],
-            "smoother_nu1_time_ms": round(t_s1 * 1e3, 4),
-            "smoother_nu2_time_ms": round(t_s2 * 1e3, 4),
-            "smoother_nu2_phys_gbps": round(GB(3) / t_s2, 2),
-            "smoother_nu_time_ms": round(t_s * 1e3, 4),
-            "smoother_nu_phys_gbps": round(smoother_nu_phys_gbps, 2),
-            "smoother_nu_effective_gbps":
-                round(smoother_nu_effective_gbps, 2),
-            "rr_fused_time_ms": round(t_rr * 1e3, 4),
-            "pc_fused_time_ms": round(t_pc * 1e3, 4),
-            "rr_plus_pc_minus_smooth_ms":
-                round((t_rr + t_pc - 2 * t_s) * 1e3, 4),
-            "vcycle_time_ms": round(t_vcycle * 1e3, 4),
-            "vcycle_rnorm_time_ms": round(t_vrn * 1e3, 4),
-            "residual_stop_overhead_pct": round(rstop_overhead_pct, 2),
-            **adaptive_extra,
-            "bf16_smoother_nu1_time_ms": round(t_s1_bf * 1e3, 4),
-            "bf16_smoother_phys_gbps": round(bf16_phys_gbps, 2),
-            "bf16_speedup_vs_f32": round(t_s1 / t_s1_bf, 3),
-            **bf16_floor,
-            **fast_extra,
-            **spmd_extra,
-            **parity_extra,
-            "vcycle3d_time_ms": round(t_vcycle3 * 1e3, 4),
-            **extra3,
-            "size3d": size3,
-            "backend_3d": get_ops(spec3, size3).__name__.split(".")[-1],
-            "vcycles_to_1e-10_relres": cycles_to_tol,
-            "vcycles_to_1e-10_rbgs": cycles_rbgs,
-            "fmg_vcycles_to_1e-10": cycles_fmg,
-            "fmg_solve_wall_s": round(t_fmg, 4),
-            "solve_wall_s": round(t_solve, 4),
-            "config5_16384": cfg5,
-            "roofline_target_gbps": target,
-        },
-    }
-    print(json.dumps(_strict(out), allow_nan=False))
+def _log(msg: str) -> None:
+    print(f"[bench +{_elapsed():7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _strict(x):
@@ -520,5 +136,570 @@ def _strict(x):
     return x
 
 
+def _write_extras() -> None:
+    try:
+        with open(EXTRAS_PATH, "w") as fh:
+            json.dump(_strict({"deadline_s": _DEADLINE,
+                               "elapsed_s": round(_elapsed(), 1),
+                               **EXTRAS}), fh, indent=1,
+                      allow_nan=False)
+            fh.write("\n")
+    except Exception as e:  # pragma: no cover
+        _log(f"extras write failed: {e!r}")
+
+
+def _emit_final(note: str | None = None) -> None:
+    """Print THE one stdout JSON line (at most once), <= budget chars."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+    EXTRAS["elapsed_s"] = round(_elapsed(), 1)
+    EXTRAS["extras_file"] = "BENCH_extras.json"
+    if note:
+        EXTRAS["note"] = note
+    _write_extras()
+    size = EXTRAS.get("size")
+    gbps = EXTRAS.get("smoother_roundtrip_gbps")
+    target = TARGET_FRACTION * V5E_HBM_GBPS
+    out = {
+        "metric": f"smoother_hbm_roundtrip_gbps_{size}x{size}_f32",
+        "value": None if gbps is None else round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": (None if gbps is None
+                        else round(gbps / target, 4)),
+    }
+    if note:
+        out["note"] = note[:160]
+    keys = list(TRACKED_KEYS)
+    while True:
+        out["extra"] = {k: EXTRAS[k] for k in keys if k in EXTRAS}
+        line = json.dumps(_strict(out), allow_nan=False,
+                          separators=(",", ":"))
+        if len(line) <= FINAL_LINE_BUDGET or not keys:
+            break
+        keys.pop()               # drop lowest-priority key and retry
+    print(line, flush=True)
+    _log(f"final line emitted ({len(line)} chars)")
+
+
+def _watchdog() -> None:
+    """Hard backstop: if anything (usually a hung remote compile)
+    blocks past the deadline, emit the partial artifact and exit.
+    Python cannot interrupt a blocked C call, hence os._exit."""
+    wake = _DEADLINE - _elapsed()
+    if wake > 0:
+        time.sleep(wake)
+    if not _EMITTED:
+        _log("DEADLINE hit — emitting partial results")
+        _emit_final(note="deadline hit: partial results "
+                         f"(sections done: {EXTRAS.get('sections_done')})")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+
+def _warmup_or_die(timeout: float) -> None:
+    """Tiny jit under its own timeout: detects a wedged compile relay
+    up front (a killed mid-compile request can wedge subsequent
+    compiles for 20+ min) and turns it into a parseable artifact."""
+    done = threading.Event()
+    errs: list = []
+
+    def work():
+        try:
+            x = jax.jit(lambda a: (a * 2.0 + 1.0).sum())(
+                jnp.ones((256, 256), jnp.float32))
+            float(x)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+        done.set()
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    if not done.wait(timeout):
+        _log(f"warm-up jit did not complete in {timeout:.0f}s — "
+             "compile relay stalled")
+        EXTRAS["error"] = ("compile-relay stalled: warm-up jit did not "
+                           f"complete in {timeout:.0f}s")
+        _emit_final(note="compile-relay stalled")
+        sys.stdout.flush()
+        os._exit(0)
+    if errs:
+        raise errs[0]
+    _log("warm-up jit ok")
+
+
+def _section(name: str, min_budget_s: float, fn, S: dict) -> None:
+    """Run one guarded section: skipped when the remaining deadline
+    budget is below its cost estimate; an exception inside it is
+    recorded as `<name>_error` instead of killing the harness."""
+    done = EXTRAS.setdefault("sections_done", [])
+    skipped = EXTRAS.setdefault("sections_skipped", [])
+    if _remaining() < min_budget_s:
+        _log(f"section {name}: SKIPPED "
+             f"(remaining {_remaining():.0f}s < {min_budget_s:.0f}s)")
+        skipped.append(name)
+        return
+    _log(f"section {name}: start (remaining {_remaining():.0f}s)")
+    try:
+        fn(S)
+        done.append(name)
+        _log(f"section {name}: done")
+    except Exception as e:  # pragma: no cover - device-dependent
+        EXTRAS[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        _log(f"section {name}: FAILED {type(e).__name__}: {e}")
+    _write_extras()
+
+
+# ----------------------------------------------------------------- #
+# sections (ordered headline-first; S is the shared cross-section
+# namespace: specs, operands, and timings later sections reuse)
+# ----------------------------------------------------------------- #
+
+def sec_headline(S):
+    """Single-sweep HBM round trip — the literal BASELINE metric
+    ("smoother sweep bandwidth"): one sweep reads u, reads f, writes
+    u = 3 arrays through the same striped DMA pipeline the fused
+    kernels use.  Also nu=2 (deepest DMA-bound fusion) and the
+    production nu (VPU-bound; per-sweep effective bandwidth counts the
+    nu*3 arrays an unfused implementation would have to move)."""
+    ops, psi, f, h, kt = S["ops"], S["psi"], S["f"], S["h"], S["kt"]
+    nu, sm, GB = S["nu"], S["sm"], S["GB"]
+    t_s1 = kt(lambda u, ff: ops.smooth(u, ff, h, 1, sm, "ghost0"), psi,
+              consts=(f,))
+    EXTRAS["smoother_roundtrip_gbps"] = round(GB(3) / t_s1, 2)
+    EXTRAS["smoother_nu1_time_ms"] = round(t_s1 * 1e3, 4)
+    t_s2 = kt(lambda u, ff: ops.smooth(u, ff, h, 2, sm, "ghost0"), psi,
+              consts=(f,))
+    EXTRAS["smoother_nu2_time_ms"] = round(t_s2 * 1e3, 4)
+    EXTRAS["smoother_nu2_phys_gbps"] = round(GB(3) / t_s2, 2)
+    t_s = kt(lambda u, ff: ops.smooth(u, ff, h, nu, sm, "ghost0"), psi,
+             consts=(f,))
+    EXTRAS["smoother_nu_time_ms"] = round(t_s * 1e3, 4)
+    EXTRAS["smoother_nu_phys_gbps"] = round(GB(3) / t_s, 2)
+    EXTRAS["smoother_nu_effective_gbps"] = round(GB(3 * nu) / t_s, 2)
+    S["t_s"] = t_s
+
+
+def sec_vcycle(S):
+    """Full V-cycle + the rnorm-fused cycle (sum(r^2) from the up-leg
+    kernel's drain); their difference prices the residual-stopping
+    metric, which must cost <3% of a cycle, not a full-grid pass.
+    The chained carry must depend on BOTH outputs via a runtime zero
+    or XLA dead-code-eliminates the norm work on the XLA path."""
+    from mgpoisson.cycle.vcycle import v_cycle, v_cycle_rnorm
+    psi, f, h, kt, spec = S["psi"], S["f"], S["h"], S["kt"], S["spec"]
+    ops, nu, sm = S["ops"], S["nu"], S["sm"]
+    z = jnp.zeros((), psi.dtype)
+
+    def _rr_chain(u, ff, zz):
+        u2, R = ops.smooth_residual_restrict(u, ff, h, nu, sm, "ghost0")
+        return u2.at[0, 0].add(zz * R[0, 0])
+
+    t_rr = kt(_rr_chain, psi, consts=(f, z))
+    V = jnp.zeros((spec.size // 2,) * 2, psi.dtype)
+    t_pc = kt(lambda u, ff, VV: ops.prolong_correct_smooth(
+        u, ff, VV, h, nu, sm, "ghost0", spec.prolong_kind), psi,
+        consts=(f, V))
+    EXTRAS["rr_fused_time_ms"] = round(t_rr * 1e3, 4)
+    EXTRAS["pc_fused_time_ms"] = round(t_pc * 1e3, 4)
+
+    t_vcycle = kt(lambda u, ff: v_cycle(u, ff, h, spec), psi,
+                  consts=(f,))
+    EXTRAS["vcycle_time_ms"] = round(t_vcycle * 1e3, 4)
+
+    def _rn_chain(u, ff, zz):
+        u2, r2 = v_cycle_rnorm(u, ff, h, spec)
+        return u2.at[0, 0].add(zz * r2)
+
+    t_vrn = kt(_rn_chain, psi, consts=(f, z))
+    EXTRAS["vcycle_rnorm_time_ms"] = round(t_vrn * 1e3, 4)
+    EXTRAS["residual_stop_overhead_pct"] = round(
+        100.0 * (t_vrn - t_vcycle) / t_vcycle, 2)
+    S["t_vcycle"], S["t_vrn"] = t_vcycle, t_vrn
+
+
+def sec_solve(S):
+    """V-cycles and wall time to 1e-10 relative residual (north star
+    <10), plus the rbgs scheme's count (the gate with margin)."""
+    from mgpoisson import MultigridPoisson, Spec
+    mg, f, spec = S["mg"], S["f"], S["spec"]
+    res = mg.solve(f)          # compile outside the timed region
+    _sync(res.psi)
+    t_solve = float("inf")
+    for _ in range(2):         # best-of-2: single-shot sync jitter is
+        psi0 = mg.init_state(f)    # tens of ms through the relay
+        t0 = time.perf_counter()
+        res = mg.solve(f, psi0=psi0)
+        _sync(res.psi)
+        t_solve = min(t_solve, time.perf_counter() - t0)
+    EXTRAS["vcycles_to_1e-10_relres"] = (res.iterations
+                                         if res.converged else -1)
+    EXTRAS["solve_wall_s"] = round(t_solve, 4)
+
+    spec_rb = Spec(size=spec.size, dtype="float32", scheme="tuned",
+                   smoother="rbgs", backend="auto", stop="residual",
+                   tol=1e-10)
+    res_rb = MultigridPoisson(spec_rb).solve()
+    _sync(res_rb.psi)
+    EXTRAS["vcycles_to_1e-10_rbgs"] = (res_rb.iterations
+                                       if res_rb.converged else -1)
+
+
+def sec_fast_packed(S):
+    """scheme='fast' (rbgs 1+1, the minimum-total-compute scheme from
+    tools/tune_scheme.py) and its packed-persistent fine level: the
+    rbgs state stays checkerboard-packed in HBM across the solve, so
+    the sweep runs its ~2.5x-cheaper packed form with no per-call
+    pack/unpack.  fast_scheme_solve_compute_ms prices the path that
+    actually EXECUTED (packed when engaged)."""
+    from mgpoisson import MultigridPoisson, Spec
+    from mgpoisson.cycle.vcycle import v_cycle
+    psi, f, h, kt, spec = S["psi"], S["f"], S["h"], S["kt"], S["spec"]
+    spec_fast = Spec(size=spec.size, dtype="float32", scheme="fast",
+                     backend="auto", stop="residual", tol=1e-10)
+    mg_fast = MultigridPoisson(spec_fast)
+    res_fast = mg_fast.solve(f)
+    _sync(res_fast.psi)
+    iters = res_fast.iterations if res_fast.converged else -1
+    EXTRAS["fast_scheme_cycles_to_1e-10"] = iters
+    t_fc = kt(lambda u, ff: v_cycle(u, ff, h, spec_fast), psi,
+              consts=(f,))
+    EXTRAS["fast_scheme_vcycle_ms"] = round(t_fc * 1e3, 4)
+    t_cycle_executed = t_fc
+    if mg_fast._packed:
+        from mgpoisson.cycle import packed as _PK
+        _pc = _PK.make_packed_cycle(spec_fast)
+        fp_ = _PK.pack(f)
+        up_ = _PK.pack(psi)
+        t_pk = kt(lambda u, ff: _pc(u, ff, h), up_, consts=(fp_,))
+        _pcr = _PK.make_packed_cycle(spec_fast, rnorm=True)
+        t_pkr = kt(lambda u, ff: _pcr(u, ff, h)[0], up_, consts=(fp_,))
+        EXTRAS["fast_packed_vcycle_ms"] = round(t_pk * 1e3, 4)
+        EXTRAS["fast_packed_vcycle_rnorm_ms"] = round(t_pkr * 1e3, 4)
+        t_cycle_executed = t_pkr
+    # total compute of the solve, priced at the cycle that actually ran
+    EXTRAS["fast_scheme_solve_compute_ms"] = round(
+        max(iters, 0) * t_cycle_executed * 1e3, 3)
+
+
+def sec_config5(S):
+    """Config 5 single chip: 16384^2 (guarded: the unrolled 14-level
+    program can exceed the remote-compile relay's payload limit)."""
+    from mgpoisson import MultigridPoisson, Spec
+    from mgpoisson.cycle.vcycle import v_cycle
+    cfg5 = {}
+    EXTRAS["config5_16384"] = cfg5
+    spec5 = Spec(size=16384, dtype="float32", scheme="tuned",
+                 stop="residual", tol=1e-10)
+    mg5 = MultigridPoisson(spec5)
+    f5 = mg5.rhs()
+    psi5 = mg5.init_state(f5)
+    t5 = chain_time(lambda u, ff: v_cycle(u, ff, spec5.fine_h, spec5),
+                    psi5, k1=4, k2=24, tries=3, consts=(f5,))
+    cfg5["vcycle_time_ms"] = round(t5 * 1e3, 4)
+    res5 = mg5.solve(f5)
+    _sync(res5.psi)
+    w5 = float("inf")
+    for _ in range(2):
+        p5 = mg5.init_state(f5)
+        t0 = time.perf_counter()
+        res5 = mg5.solve(f5, psi0=p5)
+        _sync(res5.psi)
+        w5 = min(w5, time.perf_counter() - t0)
+    cfg5["cycles"] = res5.iterations if res5.converged else -1
+    cfg5["solve_wall_s"] = round(w5, 4)
+    # scheme='fast' at config-5 scale (packed fine level when engaged)
+    spec5f = spec5.with_(scheme="fast")
+    mg5f = MultigridPoisson(spec5f)
+    res5f = mg5f.solve(f5)
+    _sync(res5f.psi)
+    cfg5["fast_cycles"] = res5f.iterations if res5f.converged else -1
+    t5f = chain_time(lambda u, ff: v_cycle(u, ff, spec5f.fine_h,
+                                           spec5f), psi5,
+                     k1=4, k2=24, tries=3, consts=(f5,))
+    cfg5["fast_vcycle_time_ms"] = round(t5f * 1e3, 4)
+    t5_exec = t5f
+    if mg5f._packed:
+        from mgpoisson.cycle import packed as _PK
+        _pc5 = _PK.make_packed_cycle(spec5f, rnorm=True)
+        fp5 = _PK.pack(f5)
+        up5 = _PK.pack(psi5)
+        t5pk = chain_time(lambda u, ff: _pc5(u, ff, spec5f.fine_h)[0],
+                          up5, k1=4, k2=24, tries=3, consts=(fp5,))
+        cfg5["fast_packed_vcycle_ms"] = round(t5pk * 1e3, 4)
+        t5_exec = t5pk
+    cfg5["fast_solve_compute_ms"] = round(
+        max(cfg5["fast_cycles"], 0) * t5_exec * 1e3, 2)
+
+
+def sec_spmd(S):
+    """Explicit shard_map partition on a (1,1) mesh: the per-shard
+    fused strip kernels must keep the single-chip win under sharding
+    (gate: within ~10% of the unsharded rnorm V-cycle, the
+    like-for-like comparison since the spmd step fuses the metric)."""
+    from mgpoisson.shard.mesh import build_mesh
+    from mgpoisson.shard.spmd import build_spmd_step
+    from mgpoisson import Spec
+    psi, f, kt, spec = S["psi"], S["f"], S["kt"], S["spec"]
+    spec_s = spec.with_(mesh_shape=(1, 1), partition="spmd")
+    mesh1 = build_mesh((1, 1), devices=jax.devices()[:1])
+    sstep = jax.jit(build_spmd_step(spec_s, mesh1))
+    t_spmd = kt(lambda u, ff: sstep(u, ff)[0], psi, consts=(f,))
+    EXTRAS["spmd_1x1_step_ms"] = round(t_spmd * 1e3, 4)
+    if "t_vrn" in S:
+        EXTRAS["spmd_vs_unsharded_vcycle"] = round(t_spmd / S["t_vrn"],
+                                                   4)
+    # 3D analog: the z-strip kernels on a (1,1) mesh
+    nu = S["nu"]
+    spec3s = Spec(size=256, ndim=3, dtype="float32", scheme="tuned",
+                  backend="auto", pre_smooth=nu, post_smooth=nu,
+                  mesh_shape=(1, 1), partition="spmd", stop="residual")
+    sstep3 = jax.jit(build_spmd_step(spec3s, mesh1))
+    f3s = jnp.zeros((256,) * 3, jnp.float32).at[(128,) * 3].set(-1e6)
+    t_spmd3 = kt(lambda u, ff: sstep3(u, ff)[0], -f3s, consts=(f3s,))
+    EXTRAS["spmd3d_1x1_step_ms"] = round(t_spmd3 * 1e3, 4)
+
+
+def sec_parity(S):
+    """Compiled-kernel parity sweep (every Pallas path vs the XLA ops,
+    ON DEVICE — the reference's cross-implementation diffing where the
+    Mosaic kernels actually execute).  Skippable for quick local runs
+    with MGPOISSON_BENCH_PARITY=0."""
+    if os.environ.get("MGPOISSON_BENCH_PARITY", "1") == "0":
+        EXTRAS["kernel_parity_skipped"] = True
+        return
+    from mgpoisson.bench.parity import run_parity
+    pres = run_parity(full=False)
+    EXTRAS["kernel_parity_max_err"] = pres["max_err_f32"]
+    EXTRAS["kernel_parity_worst"] = pres["worst_f32"]
+    EXTRAS["kernel_parity_max_err_bf16"] = pres["max_err_bf16"]
+    EXTRAS["kernel_parity_n_cases"] = pres["n_cases"]
+    if pres["failures"]:
+        EXTRAS["kernel_parity_failures"] = pres["failures"]
+
+
+def sec_fmg(S):
+    """FMG-initialized solve: full multigrid reaches discretization
+    accuracy in one O(N) pass, then V-cycles polish."""
+    from mgpoisson import MultigridPoisson, Spec
+    f, spec = S["f"], S["spec"]
+    spec_f = Spec(size=spec.size, dtype="float32", scheme="tuned",
+                  backend="auto", stop="residual", tol=1e-10,
+                  cycle="fmg")
+    mg_f = MultigridPoisson(spec_f)
+    res_f = mg_f.solve(f)
+    _sync(res_f.psi)
+    t_fmg = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res_f = mg_f.solve(f)      # includes the FMG init pass
+        _sync(res_f.psi)
+        t_fmg = min(t_fmg, time.perf_counter() - t0)
+    EXTRAS["fmg_vcycles_to_1e-10"] = (res_f.iterations
+                                      if res_f.converged else -1)
+    EXTRAS["fmg_solve_wall_s"] = round(t_fmg, 4)
+
+
+def sec_adaptive(S):
+    """stop_check='adaptive': exact ||r|| cycles run only when the
+    learned contraction model predicts the residual is near tol;
+    n_metric_evals counts them and the chained per-cycle timings
+    price the amortized metric cost."""
+    from mgpoisson import MultigridPoisson
+    f, spec = S["f"], S["spec"]
+    mg_a = MultigridPoisson(spec.with_(stop_check="adaptive"))
+    res_a = mg_a.solve(f)
+    EXTRAS["adaptive_cycles"] = res_a.iterations
+    EXTRAS["adaptive_metric_evals"] = res_a.n_metric_evals
+    EXTRAS["adaptive_converged"] = bool(res_a.converged)
+    if "t_vrn" in S and "t_vcycle" in S:
+        EXTRAS["adaptive_stop_overhead_pct"] = round(
+            100.0 * res_a.n_metric_evals * (S["t_vrn"] - S["t_vcycle"])
+            / (res_a.iterations * S["t_vcycle"]), 2)
+
+
+def sec_bf16(S):
+    """bf16: half the HBM bytes per cell -> the sweep should run ~2x
+    faster than f32 at the same GB/s (bandwidth-bound check).  Plus
+    the end-to-end story: (a) pure-bf16 solve floor — bf16 residuals
+    stall below ~3 decimal digits, which is WHY refinement exists;
+    (b) mixed refinement (Spec.sweep_dtype='bfloat16'): bf16 V-cycles
+    on the error equation inside an f32 outer loop."""
+    from mgpoisson import MultigridPoisson
+    from mgpoisson.kernels import xla as xla_ops
+    ops, psi, f, h, kt = S["ops"], S["psi"], S["f"], S["h"], S["kt"]
+    spec, sm = S["spec"], S["sm"]
+    n_cells = spec.size * spec.size
+    psi_bf = psi.astype(jnp.bfloat16)
+    f_bf = f.astype(jnp.bfloat16)
+    t_s1_bf = kt(lambda u, ff: ops.smooth(u, ff, h, 1, sm, "ghost0"),
+                 psi_bf, consts=(f_bf,))
+    EXTRAS["bf16_smoother_nu1_time_ms"] = round(t_s1_bf * 1e3, 4)
+    EXTRAS["bf16_smoother_phys_gbps"] = round(
+        (3 * n_cells * 2) / 1e9 / t_s1_bf, 2)
+    if EXTRAS.get("smoother_nu1_time_ms"):
+        EXTRAS["bf16_speedup_vs_f32"] = round(
+            EXTRAS["smoother_nu1_time_ms"] / (t_s1_bf * 1e3), 3)
+    try:
+        spec_bf = spec.with_(dtype="bfloat16", tol=1e-30, maxiter=12)
+        mg_bf = MultigridPoisson(spec_bf)
+        f_bf16 = mg_bf.rhs()
+        res_bf = mg_bf.solve(f_bf16)
+        _sync(res_bf.psi)
+        p32 = res_bf.psi.astype(jnp.float32)
+        f32r = f_bf16.astype(jnp.float32)
+        rr32 = ops.residual(p32, f32r, h, "ghost0")
+        rel_bf = float(jnp.linalg.norm(rr32.astype(jnp.float32))
+                       / jnp.linalg.norm(f32r))
+        EXTRAS["bf16_solve_floor_relres"] = float(f"{rel_bf:.3e}")
+        EXTRAS["bf16_solve_cycles"] = res_bf.iterations
+    except Exception as e:  # pragma: no cover
+        EXTRAS["bf16_floor_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    try:
+        spec_mx = spec.with_(sweep_dtype="bfloat16")
+        mg_mx = MultigridPoisson(spec_mx)
+        res_mx = mg_mx.solve(f)
+        _sync(res_mx.psi)
+        rel_mx = float(xla_ops.residual_norm(res_mx.psi, f, h)
+                       / xla_ops.residual_norm(mg_mx.init_state(f), f,
+                                               h))
+        t_mx = kt(lambda u, ff: mg_mx._step_fn(
+            u, ff, jnp.asarray(1.0, jnp.float32))[0], psi, consts=(f,))
+        EXTRAS["mixed_bf16_cycles_to_tol"] = res_mx.iterations
+        EXTRAS["mixed_bf16_converged"] = bool(res_mx.converged)
+        EXTRAS["mixed_bf16_final_relres"] = float(f"{rel_mx:.3e}")
+        EXTRAS["mixed_bf16_step_time_ms"] = round(t_mx * 1e3, 4)
+    except Exception as e:  # pragma: no cover
+        EXTRAS["mixed_bf16_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+
+def sec_3d(S):
+    """3D (BASELINE config 4): 256^3 V-cycle (7-point Laplacian,
+    Pallas-blocked fused smoother), a 512^3 scaling point, and the
+    batched-serving loop (4 RHS per program at 1024^2)."""
+    from mgpoisson import MultigridPoisson, Spec
+    from mgpoisson.cycle.vcycle import v_cycle
+    from mgpoisson.kernels import get_ops
+    on_tpu, nu = S["on_tpu"], S["nu"]
+    size3 = int(os.environ.get("MGPOISSON_BENCH_SIZE3",
+                               256 if on_tpu else 64))
+    spec3 = Spec(size=size3, ndim=3, dtype="float32", scheme="tuned",
+                 backend="auto" if on_tpu else "xla",
+                 pre_smooth=nu, post_smooth=nu)
+    f3 = jnp.zeros((size3,) * 3, jnp.float32).at[
+        (size3 // 2,) * 3].set(-1e6)
+    t_vcycle3 = chain_time(
+        lambda u, ff: v_cycle(u, ff, spec3.fine_h, spec3), -f3,
+        consts=(f3,))
+    EXTRAS["vcycle3d_time_ms"] = round(t_vcycle3 * 1e3, 4)
+    EXTRAS["size3d"] = size3
+    EXTRAS["backend_3d"] = get_ops(spec3, size3).__name__.split(".")[-1]
+    if not on_tpu:
+        return
+    try:
+        spec3b = spec3.with_(size=512)
+        f3b = jnp.zeros((512,) * 3, jnp.float32).at[
+            (256,) * 3].set(-1e6)
+        t3b = chain_time(
+            lambda u, ff: v_cycle(u, ff, spec3b.fine_h, spec3b),
+            -f3b, consts=(f3b,))
+        EXTRAS["vcycle3d_512_time_ms"] = round(t3b * 1e3, 4)
+    except Exception as e:  # pragma: no cover
+        EXTRAS["vcycle3d_512_error"] = (
+            f"{type(e).__name__}: {str(e)[:120]}")
+    try:
+        specb = Spec(size=1024, dtype="float32", scheme="tuned",
+                     backend="auto", stop="residual", tol=1e-10,
+                     pre_smooth=nu, post_smooth=nu)
+        mgb = MultigridPoisson(specb)
+        fsb = jnp.zeros((4, 1024, 1024), jnp.float32).at[
+            :, 512, 512].set(-1e6)
+        psb, esb = mgb.solve_batched(fsb)
+        EXTRAS["batched4_1024_max_metric"] = float(jnp.max(esb))
+        loop1 = mgb._batched_loop(1)
+        r0sb = jnp.ones((4,), jnp.float32)
+        t_b = chain_time(lambda ps, ff: loop1(ps, ff, r0sb)[0], -fsb,
+                         consts=(fsb,))
+        EXTRAS["batched4_1024_cycle_ms"] = round(t_b * 1e3, 4)
+    except Exception as e:  # pragma: no cover
+        EXTRAS["batched_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _log(f"deadline {_DEADLINE:.0f}s; extras -> {EXTRAS_PATH}")
+    _warmup_or_die(float(os.environ.get(
+        "MGPOISSON_BENCH_WARMUP_TIMEOUT", "240")))
+
+    from mgpoisson import MultigridPoisson, Spec
+    from mgpoisson.kernels import get_ops
+
+    platform = jax.default_backend()
+    on_tpu = platform == "tpu"
+    size = int(os.environ.get("MGPOISSON_BENCH_SIZE",
+                              4096 if on_tpu else 512))
+    # long chains for sub-ms kernels on TPU; short everywhere else
+    kt = functools.partial(chain_time, k1=20, k2=220, tries=5) \
+        if on_tpu else chain_time
+
+    spec = Spec(size=size, dtype="float32", scheme="tuned",
+                backend="auto", stop="residual", tol=1e-10)
+    mg = MultigridPoisson(spec)
+    f = mg.rhs()
+    bytes_per = jnp.dtype(spec.dtype).itemsize
+    n_cells = size * size
+    S = {
+        "spec": spec, "mg": mg, "f": f, "psi": mg.init_state(f),
+        "h": spec.fine_h, "ops": get_ops(spec, size), "kt": kt,
+        "nu": spec.nu_pre, "sm": spec.smoother_resolved,
+        "on_tpu": on_tpu,
+        "GB": lambda arrays: arrays * n_cells * bytes_per / 1e9,
+    }
+    EXTRAS.update({
+        "platform": platform, "size": size, "smoother": S["sm"],
+        "nu": S["nu"],
+        "backend_fine_level": S["ops"].__name__.split(".")[-1],
+        "roofline_target_gbps": TARGET_FRACTION * V5E_HBM_GBPS,
+        "metric_note": ("physical 3-array round trip of ONE smoother "
+                        "sweep (the BASELINE.md per-sweep bandwidth "
+                        "metric); deeper fusion trades this bandwidth "
+                        "for compute - see smoother_nu* fields"),
+    })
+
+    # (name, min-budget-seconds before starting, fn).  Budgets are
+    # worst-case COLD estimates (remote Mosaic compiles ~30-60 s each);
+    # warm-cache runs finish each section far faster.
+    sections = [
+        ("headline", 90, sec_headline),
+        ("vcycle", 90, sec_vcycle),
+        ("solve", 80, sec_solve),
+        ("fast_packed", 120, sec_fast_packed),
+        ("config5", 200, sec_config5),
+        ("spmd", 110, sec_spmd),
+        ("parity", 200, sec_parity),
+        ("fmg", 60, sec_fmg),
+        ("adaptive", 60, sec_adaptive),
+        ("bf16", 110, sec_bf16),
+        ("3d", 140, sec_3d),
+    ]
+    if not on_tpu:
+        # no Pallas/sharded/config5 paths off-TPU: keep the harness
+        # runnable anywhere with the core sections only
+        keep = {"headline", "vcycle", "solve", "fmg", "adaptive", "3d"}
+        sections = [s for s in sections if s[0] in keep]
+    for name, budget, fn in sections:
+        _section(name, budget, fn, S)
+    _emit_final()
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - last-resort guard
+        EXTRAS["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        _log(f"FATAL: {type(e).__name__}: {e}")
+        _emit_final(note=f"fatal: {type(e).__name__}")
+        sys.exit(0)

@@ -175,6 +175,75 @@ def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
                         xla.prolong_correct_smooth(u, f, V, h, nu, sm,
                                                    "ghost0", "bilinear"))
 
+    # packed-persistent kernels (the scheme='fast' fine level,
+    # cycle/packed.py): every packed path vs the XLA ops on the
+    # unpacked layout, at the default stripe plan AND a forced
+    # thin-stripe bm=32 multi-stripe geometry (the large-n shape at a
+    # testable size), f32 + bf16.  These kernels auto-engage for every
+    # scheme='fast' f32 solve on TPU, so the compiled sweep must cover
+    # them (VERDICT r4 item 2).
+    for n in sizes:
+        h = 1.0 / n
+        for dtype in dtypes:
+            dt = {"float32": "f32",
+                  "bfloat16": "bf16"}[jnp.dtype(dtype).name]
+            itemsize = jnp.dtype(dtype).itemsize
+            for nu in ((1, 2) if full else (1,)):
+                plan = pk.packed_plan(n, nu, itemsize)
+                if plan is None:
+                    continue
+                geoms = [plan]
+                halo0 = plan[0]
+                if plan[1] != 32:
+                    geoms.append((halo0, 32))   # forced multi-stripe
+                u, f = _mkdata((n, n), dtype, seed=11)
+                up, fp = pk.pack_grid(u), pk.pack_grid(f)
+                V = _mkdata((n // 2, n // 2), dtype, seed=12)[0]
+
+                def _rr_ref(u=u, f=f, nu=nu, h=h):
+                    us = xla.smooth(u, f, h, nu, "rbgs", "ghost0")
+                    return us, xla.residual_restrict(us, f, h, "ghost0")
+
+                for halo, bm in geoms:
+                    tag = f"{n}_{dt}_nu{nu}_bm{bm}"
+                    add(f"packed_rr_{tag}",
+                        lambda up=up, fp=fp, nu=nu, h=h, halo=halo,
+                        bm=bm: (lambda o: (pk.unpack_grid(o[0]), o[1]))(
+                            pk._packed_rr_fused(up, fp, h=h, nu=nu,
+                                                interpret=False,
+                                                halo=halo, bm=bm)),
+                        _rr_ref)
+                    for kind in ("inject", "bilinear"):
+                        add(f"packed_pc_{kind}_{tag}",
+                            lambda up=up, fp=fp, V=V, nu=nu, h=h,
+                            halo=halo, bm=bm, kind=kind:
+                                pk.unpack_grid(pk._packed_pc_fused(
+                                    up, fp, V, h=h, nu=nu, kind=kind,
+                                    interpret=False, halo=halo, bm=bm)),
+                            lambda u=u, f=f, V=V, nu=nu, h=h, kind=kind:
+                                xla.smooth(
+                                    xla.prolong_correct(u, V, kind),
+                                    f, h, nu, "rbgs", "ghost0"))
+
+                    def _pkr_ref(u=u, f=f, V=V, nu=nu, h=h):
+                        u2 = xla.smooth(
+                            xla.prolong_correct(u, V, "inject"),
+                            f, h, nu, "rbgs", "ghost0")
+                        return u2, jnp.asarray(
+                            [xla.residual_sq_sum(u2, f, h)])
+
+                    add(f"packed_pcr_{tag}",
+                        lambda up=up, fp=fp, V=V, nu=nu, h=h, halo=halo,
+                        bm=bm: (lambda o: (
+                            pk.unpack_grid(o[0]),
+                            jnp.asarray([jnp.sum(o[1])])))(
+                            pk._packed_pc_fused(up, fp, V, h=h, nu=nu,
+                                                kind="inject",
+                                                interpret=False,
+                                                halo=halo, bm=bm,
+                                                rnorm=True)),
+                        _pkr_ref)
+
     # wide (two-axis-blocked) kernels with forced geometry — the
     # n >= 8192 code path exercised at a testable size
     n = 1024

@@ -50,11 +50,11 @@ def supported(spec) -> bool:
         return False
     if spec.size <= spec.coarse_size or spec.size < spec.pallas_min_size:
         return False
-    if jnp.dtype(spec.dtype) != jnp.float32:
-        # bf16 packed kernels pass the interpret-mode differentials,
-        # but the auto-engage is f32-only until the on-device parity
-        # sweep covers the bf16 packed geometry (Mosaic's bf16 crash
-        # modes are geometry-sensitive — docs/KERNELS.md catalogue)
+    if jnp.dtype(spec.dtype) not in (jnp.float32, jnp.bfloat16):
+        # f32 + bf16: both covered by the on-device compiled parity
+        # sweep (bench/parity.py packed cases — default and forced
+        # multi-stripe geometries, r5: 135 cases, zero failures; bf16
+        # max err ~3e-2 = nu-sweep reorder noise at bf16 precision)
         return False
     from mgpoisson.kernels import _tpu_available
     if spec.backend == "auto" and not _tpu_available() \
@@ -67,6 +67,30 @@ def supported(spec) -> bool:
             is not None)
 
 
+def supported_spmd(spec, mesh) -> bool:
+    """Packed-persistent fine level under the explicit shard_map
+    partition (row-sharded meshes): pack_grid is row-preserving and
+    lane-local, so with columns unsharded a globally packed array is
+    exactly a per-shard packed array and the strip kernels compose
+    (kernels/pallas.py packed sharded section).  Mirrors supported()'s
+    gates with the mesh-shape condition replacing single-device."""
+    if _flag() == "0":
+        return False
+    if spec.ndim != 2 or spec.smoother_resolved != "rbgs":
+        return False
+    if spec.cycle not in ("v", "w", "fmg"):
+        return False
+    if spec.backend == "xla":
+        return False
+    if jnp.dtype(spec.dtype) != jnp.float32:
+        return False
+    if spec.sweep_dtype is not None and \
+            jnp.dtype(spec.sweep_dtype) != jnp.dtype(spec.dtype):
+        return False
+    from mgpoisson.shard.spmd import spmd_packed_plan
+    return spmd_packed_plan(spec, mesh) is not None
+
+
 def pack(u):
     from mgpoisson.kernels import pallas as P
     return P.pack_grid(u)
@@ -77,12 +101,21 @@ def unpack(up):
     return P.unpack_grid(up)
 
 
-def make_packed_cycle(spec, rnorm: bool = False):
+def make_packed_cycle(spec, rnorm: bool = False, constrain=None):
     """Cycle function over PACKED fine-level state: (up, fp, h) -> up'
     (or (up', sum(r^2)) with rnorm).  Coarse levels are the normal
     unpacked `_cycle` recursion — bit-identical to the unpacked solve
     below the fine level; the fine level differs by add-order rounding
-    only (tests/test_packed_persistent.py)."""
+    only (tests/test_packed_persistent.py).
+
+    `constrain` (a GSPMD layout-constraint fn) is accepted only to
+    reject it loudly: supported() guarantees mesh_shape is None, and a
+    caller composing a sharding constraint with the packed layout
+    would otherwise have it silently dropped."""
+    if constrain is not None:
+        raise ValueError("packed-persistent cycle is single-device "
+                         "only; cannot compose a sharding constrain "
+                         "(Spec.mesh_shape must be None)")
     from mgpoisson.kernels import pallas as P
     gamma = {"v": 1, "fmg": 1, "w": 2}[spec.cycle]
 

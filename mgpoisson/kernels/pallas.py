@@ -3696,6 +3696,345 @@ def pc_smooth_sharded(u, f, V, ustrips, fstrips, vstrips, flags, h, nu,
 
 
 # ---------------------------------------------------------------------
+# packed-persistent per-shard strip kernels (row-sharded meshes)
+# ---------------------------------------------------------------------
+# The packed-persistent fine level (section above) composed with the
+# explicit shard_map partition (VERDICT r4 item 4: the fast path must
+# survive distribution — the hybrid's lesson, `cpu-gpu.lua:17-52`).
+# Key fact: pack_grid is ROW-PRESERVING and lane-local, so on a row-
+# sharded (N, 1) mesh — the natural ICI ring — a globally packed array
+# IS a per-shard packed array, and the halo strips are plain 8-deep
+# row strips of the PACKED local block, exchanged with the same
+# ppermute as the unpacked path.  Column-sharded meshes (y > 1) keep
+# the unpacked strip kernels: the packed striped core has no column
+# window machinery.
+#
+# The kernels below are the packed twins of _rr_sharded/_pc_sharded
+# (strip-fed DMA assembly, device edge flags in SMEM) running the
+# _packed_core sweep loop of _packed_rr_fused/_packed_pc_fused.
+
+
+def packed_sharded_plan(shape, nu, itemsize):
+    """(halo, bm) stripe geometry for the packed strip kernels on a
+    LOCAL packed block (nl, ml) — ml is the GLOBAL packed width
+    (row-sharded mesh; the left ml/2 lanes are the red plane) — or
+    None.  f32-only and rbgs-only like packed_plan; halo is both the
+    in-kernel stripe halo and the strip exchange depth."""
+    if len(shape) != 2 or nu < 1 or nu > 3 or itemsize < 4:
+        return None
+    nl, ml = shape
+    if ml < _LANE_CHUNK or ml % _LANE_CHUNK or ml % 2:
+        return None
+    if nl < 32 or nl % 16:
+        return None
+    halo = 8           # rbgs radius 2: 2*nu + 1 <= 7 < 8
+    bm = nl
+    while bm >= 16:
+        if nl % bm == 0 and nl // bm >= 2 and bm % 16 == 0 \
+                and bm >= halo:
+            vmem = itemsize * (4 * (bm + 2 * halo) * ml   # u, f stripes
+                               + 2 * bm * ml              # out stripes
+                               + 2 * (bm // 2) * (ml // 2)       # routs
+                               + 2 * (bm // 2 + 16) * (ml // 2))  # V (pc)
+            if vmem <= _VMEM_BUDGET:
+                return halo, bm
+        bm //= 2
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "interpret", "halo", "bm"))
+def _packed_rr_sharded(up, fp, ut, ub, ft, fb, flags, *, h: float,
+                       nu: int, interpret: bool, halo: int, bm: int):
+    """Per-shard packed down-leg: nu rbgs sweeps + residual + restrict
+    on a LOCAL packed block with pre-exchanged halo strips.  Returns
+    (up', Rc) with Rc the UNPACKED local coarse rhs.  ghost0 only (the
+    fine level's bc).  Strip rows hold real neighbor data (or the
+    collective's zero fill at global edges); the in-kernel bc fixups
+    gate on the device edge flags, so interior devices let the strip
+    region degrade one ring per sweep — the cross-device deep-halo
+    trapezoid, in the packed layout."""
+    nl, ml = up.shape
+    w = ml // 2
+    dtype = up.dtype
+    n_str = nl // bm
+    assert n_str >= 2 and bm >= halo and bm % 16 == 0 and halo % 8 == 0
+    R_ = bm + 2 * halo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, ut_h, ub_h, ft_h, fb_h, flags_ref,
+               out_hbm, rout_hbm, us, fs, outs, routs,
+               in_sems, out_sems, rout_sems):
+        rf_dev = flags_ref[0] == 1
+        rl_dev = flags_ref[1] == 1
+
+        def issue(i, slot):
+            _strip_stripe_in("start", u_hbm, ut_h, ub_h, None, None, us,
+                             in_sems.at[0], i, slot, bm, halo, n_str, ml)
+            _strip_stripe_in("start", f_hbm, ft_h, fb_h, None, None, fs,
+                             in_sems.at[1], i, slot, bm, halo, n_str, ml)
+
+        issue(0, 0)
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_str)
+            def _():
+                issue(i + 1, jax.lax.rem(i + 1, 2))
+
+            _strip_stripe_in("wait", u_hbm, ut_h, ub_h, None, None, us,
+                             in_sems.at[0], i, slot, bm, halo, n_str, ml)
+            _strip_stripe_in("wait", f_hbm, ft_h, fb_h, None, None, fs,
+                             in_sems.at[1], i, slot, bm, halo, n_str, ml)
+
+            is_first = (i == 0) & rf_dev
+            is_last = (i == n_str - 1) & rl_dev
+            uv, fv = us[slot], fs[slot]
+            xr, xb = uv[:, :w], uv[:, w:]
+            fr, fb_ = fv[:, :w], fv[:, w:]
+            mhq = jnp.asarray(-hsq * 0.25, dtype)
+            xr, xb = _packed_core(xr, xb, fr * mhq, fb_ * mhq, nu,
+                                  "ghost0", halo=halo, bm=bm,
+                                  is_first=is_first, is_last=is_last)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+            er = (rows % 2) == 0
+            r_r, r_b = _packed_residual(xr, xb, fr, fb_, inv_hsq, er)
+            s = (r_r + r_b)[halo:halo + bm, :]
+            Rv = s.reshape(bm // 2, 2, w).sum(axis=1) \
+                * jnp.asarray(0.25, dtype)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot], rout_hbm.at[pl.ds(0, bm // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = jnp.concatenate(
+                [xr[halo:halo + bm, :], xb[halo:halo + bm, :]], axis=1)
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(i * (bm // 2), 8),
+                                  bm // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_str, body, 0)
+
+        for k in (n_str - 2, n_str - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nl, ml), dtype),
+                   jax.ShapeDtypeStruct((nl // 2, ml // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_, ml), dtype),            # packed u stripes
+            pltpu.VMEM((2, R_, ml), dtype),            # packed f stripes
+            pltpu.VMEM((2, bm, ml), dtype),            # u out stripes
+            pltpu.VMEM((2, bm // 2, ml // 2), dtype),  # Rc out stripes
+            pltpu.SemaphoreType.DMA((2, 2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(up, fp, ut, ub, ft, fb, flags)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "kind", "interpret", "halo", "bm",
+                     "rnorm"))
+def _packed_pc_sharded(up, fp, V, ut, ub, ft, fb, vt, vb, flags, *,
+                       h: float, nu: int, kind: str, interpret: bool,
+                       halo: int, bm: int, rnorm: bool = False):
+    """Per-shard packed up-leg: u += P(V) + nu rbgs sweeps on a LOCAL
+    packed block with pre-exchanged strips for u, f (fine, depth halo)
+    and V (coarse, depth 8; V is UNPACKED — coarse lanes are packed
+    lanes).  rnorm: also return a (1, ml) f32 row of column-partial
+    sums of the LOCAL result's squared residual (psum over the mesh
+    for the global ||r||^2 — free stop='residual')."""
+    nl, ml = up.shape
+    w = ml // 2
+    dtype = up.dtype
+    n_str = nl // bm
+    assert n_str >= 2 and bm >= halo and bm % 16 == 0
+    assert halo % 8 == 0 and halo <= 14
+    R_ = bm + 2 * halo
+    chalo = 8
+    Rc = bm // 2 + 2 * chalo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, v_hbm, ut_h, ub_h, ft_h, fb_h, vt_h, vb_h,
+               flags_ref, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, us, fs, vs, outs, racc,
+             in_sems, out_sems, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            us, fs, vs, outs, in_sems, out_sems = rest
+        rf_dev = flags_ref[0] == 1
+        rl_dev = flags_ref[1] == 1
+
+        def issue(i, slot):
+            _strip_stripe_in("start", u_hbm, ut_h, ub_h, None, None, us,
+                             in_sems.at[0], i, slot, bm, halo, n_str, ml)
+            _strip_stripe_in("start", f_hbm, ft_h, fb_h, None, None, fs,
+                             in_sems.at[1], i, slot, bm, halo, n_str, ml)
+            _strip_stripe_in("start", v_hbm, vt_h, vb_h, None, None, vs,
+                             in_sems.at[2], i, slot, bm // 2, chalo,
+                             n_str, w)
+
+        issue(0, 0)
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_str)
+            def _():
+                issue(i + 1, jax.lax.rem(i + 1, 2))
+
+            _strip_stripe_in("wait", u_hbm, ut_h, ub_h, None, None, us,
+                             in_sems.at[0], i, slot, bm, halo, n_str, ml)
+            _strip_stripe_in("wait", f_hbm, ft_h, fb_h, None, None, fs,
+                             in_sems.at[1], i, slot, bm, halo, n_str, ml)
+            _strip_stripe_in("wait", v_hbm, vt_h, vb_h, None, None, vs,
+                             in_sems.at[2], i, slot, bm // 2, chalo,
+                             n_str, w)
+
+            is_first = (i == 0) & rf_dev
+            is_last = (i == n_str - 1) & rl_dev
+            pr, pb = _packed_prolong_stripe(vs[slot], kind, is_first,
+                                            is_last, chalo, bm)
+            lo = 2 * chalo - halo
+            uv, fv = us[slot], fs[slot]
+            fr, fb_ = fv[:, :w], fv[:, w:]
+            xr = uv[:, :w] + pr[lo:lo + R_, :]
+            xb = uv[:, w:] + pb[lo:lo + R_, :]
+            mhq = jnp.asarray(-hsq * 0.25, dtype)
+            xr, xb = _packed_core(xr, xb, fr * mhq, fb_ * mhq, nu,
+                                  "ghost0", halo=halo, bm=bm,
+                                  is_first=is_first, is_last=is_last)
+
+            if rnorm:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (R_, 1), 0)
+                er = (rows % 2) == 0
+                r_r, r_b = _packed_residual(xr, xb, fr, fb_, inv_hsq,
+                                            er)
+                rv = jnp.concatenate(
+                    [r_r[halo:halo + bm, :], r_b[halo:halo + bm, :]],
+                    axis=1).astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+
+            outs[slot] = jnp.concatenate(
+                [xr[halo:halo + bm, :], xb[halo:halo + bm, :]], axis=1)
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_str, body, 0)
+
+        for k in (n_str - 2, n_str - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((nl, ml), dtype)
+    scratch = [
+        pltpu.VMEM((2, R_, ml), dtype),        # packed u stripes
+        pltpu.VMEM((2, R_, ml), dtype),        # packed f stripes
+        pltpu.VMEM((2, Rc, w), dtype),         # V coarse stripes
+        pltpu.VMEM((2, bm, ml), dtype),        # out stripes
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((3, 2, 5)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, ml), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, ml), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 9
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(up, fp, V, ut, ub, ft, fb, vt, vb, flags)
+
+
+def packed_rr_sharded(up, fp, ustrips, fstrips, flags, h, nu, *, plan):
+    """Per-shard packed down-leg (see the section comment).  ustrips/
+    fstrips = (top, bottom[, None, None]) 8-deep PACKED row strips at
+    exchange depth plan[0]; flags = (4,) int32 device edge flags (only
+    rows are consulted — row-sharded meshes only)."""
+    halo, bm = plan
+    return _packed_rr_sharded(up, fp, ustrips[0], ustrips[1],
+                              fstrips[0], fstrips[1], flags,
+                              h=float(h), nu=nu,
+                              interpret=_interpret(), halo=halo, bm=bm)
+
+
+def packed_pc_sharded(up, fp, V, ustrips, fstrips, vstrips, flags, h,
+                      nu, kind="inject", *, plan, rnorm=False):
+    """Per-shard packed up-leg; vstrips are exchanged on the UNPACKED
+    coarse grid at depth 8 rows.  rnorm=True also returns the (1, ml)
+    f32 local residual-square partial row."""
+    halo, bm = plan
+    return _packed_pc_sharded(up, fp, V, ustrips[0], ustrips[1],
+                              fstrips[0], fstrips[1], vstrips[0],
+                              vstrips[1], flags, h=float(h), nu=nu,
+                              kind=kind, interpret=_interpret(),
+                              halo=halo, bm=bm, rnorm=rnorm)
+
+
+# ---------------------------------------------------------------------
 # 3D per-shard fused strip kernels.  The 3D analog of the 2D section
 # above.  On an (N, 1) device grid — the natural ICI ring for 3D
 # domains — only the leading (z) axis is device-sharded: the kernels

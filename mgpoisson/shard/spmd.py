@@ -549,6 +549,84 @@ def _build_parts(spec, mesh):
             rn = zero
         return psi_new, err_upd, rn
 
+    # -------- packed-persistent fine level under the partition --------
+    # The packed-persistent fine level (mgpoisson.cycle.packed) composed
+    # with the explicit partition, on ROW-SHARDED meshes: pack_grid is
+    # row-preserving and lane-local, so with columns unsharded a
+    # globally packed array is exactly a per-shard packed array.  The
+    # solver packs psi/f once per solve; the fine level runs the packed
+    # strip kernels (kernels/pallas.py packed_rr_sharded /
+    # packed_pc_sharded) with 8-deep PACKED row strips exchanged by the
+    # same ppermute as the unpacked path, and the coarse subtree runs
+    # the existing sharded cycle on the UNPACKED coarse rhs the packed
+    # down-leg emits (same structure as the single-device
+    # make_packed_cycle).
+
+    def _packed_plan():
+        if not pallas_on or ndim != 2 or smoother != "rbgs":
+            return None
+        if mesh_sizes["y"] != 1:
+            return None
+        if not (1 <= spec.nu_pre <= 3 and 1 <= spec.nu_post <= 3):
+            return None
+        # the fine level must actually run sharded (no replicated
+        # handoff at the top) for the packed strip kernels to own it
+        if spec.size <= spec.replicate_below \
+                or not shardable(spec.size) \
+                or not shardable(spec.size // 2):
+            return None
+        from mgpoisson.kernels import pallas as pk
+        local = (spec.size // mesh_sizes["x"], spec.size)
+        return pk.packed_sharded_plan(
+            local, max(spec.nu_pre, spec.nu_post),
+            jnp.dtype(spec.dtype).itemsize)
+
+    packed_plan = _packed_plan()
+
+    def cycle_packed(pp, fp, want_r2=False):
+        """One cycle over PACKED local fine state (pp, fp); returns
+        (pp', local sum(r^2) or None)."""
+        from mgpoisson.kernels import pallas as pk
+        fl = edge_flags()
+        d = packed_plan[0]
+        fstrips = strips(fp, d)
+        ustrips = strips(pp, d)
+        pp, R = pk.packed_rr_sharded(pp, fp, ustrips, fstrips, fl, h0,
+                                     spec.nu_pre, plan=packed_plan)
+        V = jnp.zeros_like(R)
+        for _ in range(gamma):
+            V = cycle(V, R, 2 * h0, spec.size // 2, False)
+        vstrips = strips(V, 8)
+        ustrips = strips(pp, d)
+        out = pk.packed_pc_sharded(pp, fp, V, ustrips, fstrips,
+                                   vstrips, fl, h0, spec.nu_post,
+                                   spec.prolong_kind, plan=packed_plan,
+                                   rnorm=want_r2)
+        if want_r2:
+            ppn, racc = out
+            return ppn, jnp.sum(racc)
+        return out, None
+
+    def step_local_packed(pp, fp):
+        """The packed twin of step_local; update-RMS is permutation-
+        invariant, so the packed difference gives the exact metric."""
+        zero = jnp.zeros((), pp.dtype)
+        if spec.stop == "update":
+            ppn, _ = cycle_packed(pp, fp)
+            dl = ppn - pp
+            sq = jax.lax.psum(jnp.sum(dl * dl), ("x", "y"))
+            return ppn, jnp.sqrt(sq / (spec.size ** ndim)), zero
+        ppn, r2l = cycle_packed(pp, fp, want_r2=True)
+        rn = jnp.sqrt(jax.lax.psum(r2l, ("x", "y"))).astype(pp.dtype)
+        return ppn, zero, rn
+
+    def cycle_plain_local_packed(pp, fp):
+        return cycle_packed(pp, fp)[0]
+
+    def cycle_rnorm_local_packed(pp, fp):
+        ppn, r2l = cycle_packed(pp, fp, want_r2=True)
+        return ppn, jax.lax.psum(r2l, ("x", "y"))
+
     # -------- bare cycles for the adaptive solve loop ------------------
     def cycle_plain_local(psi, f):
         return cycle(psi, f, h0, spec.size, True)
@@ -621,6 +699,10 @@ def _build_parts(spec, mesh):
             "step_mixed_local": step_mixed_local,
             "cycle_plain_local": cycle_plain_local,
             "cycle_rnorm_local": cycle_rnorm_local,
+            "packed_plan": packed_plan,
+            "step_local_packed": step_local_packed,
+            "cycle_plain_local_packed": cycle_plain_local_packed,
+            "cycle_rnorm_local_packed": cycle_rnorm_local_packed,
             "pspec": pspec}
 
 
@@ -649,6 +731,44 @@ def build_spmd_cycles(spec, mesh):
                           in_specs=(pspec, pspec), out_specs=pspec,
                           check_vma=False)
     rnorm = jax.shard_map(parts["cycle_rnorm_local"], mesh=mesh,
+                          in_specs=(pspec, pspec),
+                          out_specs=(pspec, P()), check_vma=False)
+    return plain, rnorm
+
+
+def spmd_packed_plan(spec, mesh):
+    """The packed-persistent stripe plan under this mesh, or None —
+    row-sharded meshes only (see the packed sharded section of
+    kernels/pallas.py).  Cheap: builds closures, compiles nothing."""
+    return _build_parts(spec, mesh)["packed_plan"]
+
+
+def build_spmd_step_packed(spec, mesh):
+    """step(pp, fp) -> (pp_new, rms_update, residual_norm) over PACKED
+    global state (the solver packs/unpacks at the solve boundary)."""
+    parts = _build_parts(spec, mesh)
+    if parts["packed_plan"] is None:
+        raise ValueError("packed-persistent spmd path unsupported for "
+                         "this spec/mesh (row-sharded f32 rbgs only)")
+    pspec = parts["pspec"]
+    return jax.shard_map(parts["step_local_packed"], mesh=mesh,
+                         in_specs=(pspec, pspec),
+                         out_specs=(pspec, P(), P()),
+                         check_vma=False)
+
+
+def build_spmd_cycles_packed(spec, mesh):
+    """(plain, rnorm) cycle functions over PACKED global state for the
+    adaptive solve loop under the explicit partition."""
+    parts = _build_parts(spec, mesh)
+    if parts["packed_plan"] is None:
+        raise ValueError("packed-persistent spmd path unsupported for "
+                         "this spec/mesh (row-sharded f32 rbgs only)")
+    pspec = parts["pspec"]
+    plain = jax.shard_map(parts["cycle_plain_local_packed"], mesh=mesh,
+                          in_specs=(pspec, pspec), out_specs=pspec,
+                          check_vma=False)
+    rnorm = jax.shard_map(parts["cycle_rnorm_local_packed"], mesh=mesh,
                           in_specs=(pspec, pspec),
                           out_specs=(pspec, P()), check_vma=False)
     return plain, rnorm

@@ -115,13 +115,42 @@ class MultigridPoisson:
                 err = err_upd if spec.stop == "update" else rn / r0
                 return psi_new, err
 
+            # Packed-persistent fine level under the partition
+            # (row-sharded meshes; mgpoisson.cycle.packed +
+            # kernels/pallas.py packed sharded section): the jitted
+            # no-callback solve loop carries globally-packed state —
+            # valid because pack_grid is row-preserving, so global
+            # packing == per-shard packing when columns are unsharded.
+            if sweep_dt is None:
+                from mgpoisson.cycle import packed as packed_mod
+                self._packed = packed_mod.supported_spmd(spec, self.mesh)
+            if self._packed:
+                from mgpoisson.shard.spmd import build_spmd_step_packed
+                spmd_pstep = build_spmd_step_packed(spec, self.mesh)
+
+                def loop_step(pp, fp, r0):
+                    ppn, err_upd, rn = spmd_pstep(pp, fp)
+                    err = err_upd if spec.stop == "update" else rn / r0
+                    return ppn, err
+
+                self._loop_step = loop_step
+
             if spec.stop_check == "adaptive":
                 # the adaptive solve loop drives the bare shard_map'd
                 # cycles directly (see _build_adaptive_loop); psi/f at
                 # the loop level are global arrays, so the loop body is
                 # unchanged from the gspmd form
-                from mgpoisson.shard.spmd import build_spmd_cycles
-                plain, rnorm = build_spmd_cycles(spec, self.mesh)
+                if self._packed:
+                    from mgpoisson.cycle import packed as packed_mod
+                    from mgpoisson.shard.spmd import \
+                        build_spmd_cycles_packed
+                    plain, rnorm = build_spmd_cycles_packed(spec,
+                                                            self.mesh)
+                    self._loop_residual_norm = \
+                        packed_mod.residual_norm_packed
+                else:
+                    from mgpoisson.shard.spmd import build_spmd_cycles
+                    plain, rnorm = build_spmd_cycles(spec, self.mesh)
                 self._cycle_plain = lambda u, f, h: plain(u, f)
                 self._cycle_rnorm = lambda u, f, h: rnorm(u, f)
         elif sweep_dt is not None:

@@ -24,3 +24,22 @@ import jax  # noqa: E402
 # initialized yet
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# `pytest -m quick`: the fast core subset (oracle/XLA-path numerics,
+# solver semantics, config validation) for tight iteration.  The
+# interpret-mode Pallas differentials, multi-process tests, and
+# subprocess harness smokes dominate the full suite's wall time and
+# stay opt-in via a plain `pytest tests/`.
+QUICK_FILES = {
+    "test_oracle.py", "test_kernels.py", "test_cycle.py",
+    "test_solver.py", "test_utils.py", "test_transforms.py",
+    "test_krylov.py", "test_native.py", "test_mixed_precision.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in QUICK_FILES:
+            item.add_marker(pytest.mark.quick)

@@ -43,28 +43,69 @@ def test_profile_trace(tmp_path):
 
 
 def test_bench_json_smoke(tmp_path):
-    """bench.py (the driver artifact) runs end-to-end and emits one
-    valid JSON line with the tracked fields, at toy sizes on CPU."""
+    """bench.py (the driver artifact) runs end-to-end and emits ONE
+    compact JSON line (the driver parses the tail of stdout, so the
+    line must fit its ~2000-char capture) plus a full extras file, at
+    toy sizes on CPU."""
     import json
     import os
     import subprocess
     import sys
 
+    extras = tmp_path / "extras.json"
     env = dict(os.environ, MGPOISSON_BENCH_SIZE="64",
-               MGPOISSON_BENCH_SIZE3="16", JAX_PLATFORMS="cpu")
+               MGPOISSON_BENCH_SIZE3="16", JAX_PLATFORMS="cpu",
+               MGPOISSON_BENCH_EXTRAS=str(extras))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
                          capture_output=True, text=True, env=env,
                          cwd=root, timeout=1800)
     assert out.returncode == 0, out.stderr[-2000:]
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    d = json.loads(line)
+    # stdout is exactly one JSON line, short enough for the driver's
+    # tail capture; progress goes to stderr
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    assert len(lines[0]) <= 1800, len(lines[0])
+    d = json.loads(lines[0])
     # at toy sizes the delta-timed value can be noise-negative; the
     # contract is the fields, not the sign
     assert d["unit"] == "GB/s" and isinstance(d["value"], (int, float))
     extra = d["extra"]
     for key in ("vcycle_time_ms", "vcycles_to_1e-10_relres",
-                "vcycles_to_1e-10_rbgs", "smoother_nu_phys_gbps",
-                "rr_fused_time_ms", "config5_16384", "solve_wall_s"):
+                "vcycles_to_1e-10_rbgs", "solve_wall_s",
+                "sections_done"):
         assert key in extra, key
     assert extra["vcycles_to_1e-10_relres"] > 0
+    # the full measurement set lands in the extras file
+    full = json.loads(extras.read_text())
+    for key in ("smoother_nu_phys_gbps", "rr_fused_time_ms",
+                "vcycle_rnorm_time_ms", "fmg_vcycles_to_1e-10"):
+        assert key in full, key
+
+
+def test_bench_deadline_partial(tmp_path):
+    """A too-small deadline still yields a parseable one-line artifact
+    that says which sections were skipped (the rc=124 hardening)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    extras = tmp_path / "extras.json"
+    env = dict(os.environ, MGPOISSON_BENCH_SIZE="64",
+               MGPOISSON_BENCH_SIZE3="16", JAX_PLATFORMS="cpu",
+               MGPOISSON_BENCH_EXTRAS=str(extras),
+               MGPOISSON_BENCH_DEADLINE="40")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                         capture_output=True, text=True, env=env,
+                         cwd=root, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    d = json.loads(lines[0])
+    assert "extra" in d
+    # with a 40s budget at least one section must have been skipped
+    # or the watchdog fired (note says so); either way it parsed
+    skipped = d["extra"].get("sections_skipped", [])
+    assert skipped or "note" in d

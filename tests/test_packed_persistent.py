@@ -79,6 +79,49 @@ def test_packed_pc_matches_unpacked(kind, n, nu):
                                np.asarray(ue), atol=5e-6)
 
 
+@pytest.mark.parametrize("nu", [1, 2, 3])
+def test_packed_multi_stripe_geometry(nu):
+    """Forced halo=8, bm=32 at n=256 -> 8 stripes: pins the
+    multi-stripe handoff, the i>=2 output-drain waits, and the
+    per-stripe parity logic that the default plan (bm=n//2, 2 stripes)
+    never exercises at CI sizes (ADVICE r4)."""
+    n = 256
+    u, f = _rand(n)
+    h = 1.0 / n
+    up, fp = P.pack_grid(u), P.pack_grid(f)
+    us = X.smooth(u, f, h, nu, "rbgs", "ghost0")
+    R = X.residual_restrict(us, f, h, "ghost0")
+    u2p, Rp = P._packed_rr_fused(up, fp, h=h, nu=nu, interpret=True,
+                                 halo=8, bm=32)
+    np.testing.assert_allclose(np.asarray(P.unpack_grid(u2p)),
+                               np.asarray(us), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(R),
+                               rtol=1e-3, atol=1e-2)
+    V = jnp.asarray(RNG.standard_normal((n // 2, n // 2)), F32)
+    for kind in ("inject", "bilinear"):
+        uc = X.smooth(X.prolong_correct(u, V, kind), f, h, nu, "rbgs",
+                      "ghost0")
+        gp = P._packed_pc_fused(up, fp, V, h=h, nu=nu, kind=kind,
+                                interpret=True, halo=8, bm=32)
+        np.testing.assert_allclose(np.asarray(P.unpack_grid(gp)),
+                                   np.asarray(uc), atol=5e-6)
+    # rnorm variant through the same forced geometry
+    g2, racc = P._packed_pc_fused(up, fp, V, h=h, nu=nu, kind="inject",
+                                  interpret=True, halo=8, bm=32,
+                                  rnorm=True)
+    expect = X.residual_sq_sum(P.unpack_grid(g2), f, h)
+    np.testing.assert_allclose(float(jnp.sum(racc)), float(expect),
+                               rtol=1e-4)
+
+
+def test_packed_cycle_rejects_constrain():
+    """A sharding constrain composed with the packed cycle must be
+    rejected loudly, not silently dropped (ADVICE r4)."""
+    spec = Spec(size=256, scheme="fast", backend="xla")
+    with pytest.raises(ValueError, match="single-device"):
+        PK.make_packed_cycle(spec, constrain=lambda x: x)
+
+
 def test_packed_pc_rnorm_matches():
     n = 256
     u, f = _rand(n)
