@@ -62,8 +62,9 @@ def supported(spec) -> bool:
         return False
     from mgpoisson.kernels import pallas as P
     itemsize = jnp.dtype(spec.dtype).itemsize
-    return (P.packed_plan(spec.size, spec.nu_pre, itemsize) is not None
-            and P.packed_plan(spec.size, spec.nu_post, itemsize)
+    return (P.packed_plan_any(spec.size, spec.nu_pre, itemsize)
+            is not None
+            and P.packed_plan_any(spec.size, spec.nu_post, itemsize)
             is not None)
 
 
@@ -122,8 +123,9 @@ def make_packed_cycle(spec, rnorm: bool = False, constrain=None):
     def cycle(up, fp, h):
         up, Rc = P.packed_smooth_residual_restrict(up, fp, h,
                                                    spec.nu_pre)
-        V = jnp.zeros_like(Rc)
-        for _ in range(gamma):
+        # first coarse visit runs the from-zero down-leg (u=None)
+        V = _vc._cycle(None, Rc, 2 * h, spec, gamma, False, None)
+        for _ in range(gamma - 1):
             V = _vc._cycle(V, Rc, 2 * h, spec, gamma, False, None)
         if rnorm:
             return P.packed_prolong_correct_smooth_rnorm(

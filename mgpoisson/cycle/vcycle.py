@@ -37,8 +37,14 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
     rnorm (fine level only): additionally return sum(r^2) of the
     result, fused into the up-leg kernel's output drain where the
     backend supports it — stop='residual' costs no separate full-grid
-    residual pass (VERDICT r2 item 3)."""
-    n = u.shape[0]
+    residual pass (VERDICT r2 item 3).
+
+    u=None means u IS IDENTICALLY ZERO (every coarse V-cycle entry):
+    the down-leg runs the from-zero kernels, which neither write a
+    zeros array to HBM nor read it back — 2.25 array passes instead
+    of 4.25 (the bytes are the same values either way, so iterates
+    are unchanged)."""
+    n = f.shape[0]
     ops = get_ops(spec, n)
     bc = "ghost0" if fine_level else spec.coarse_bc
     smoother = spec.smoother_resolved
@@ -50,6 +56,8 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
 
     if n <= spec.coarse_size:
         rec("f", f)
+        if u is None:
+            u = jnp.zeros_like(f)
         u = ops.coarse_solve(u, f, h, smoother, bc)
         rec("u", u)
         if rnorm:
@@ -60,19 +68,26 @@ def _cycle(u, f, h, spec, gamma: int, fine_level: bool, trace: Optional[Trace],
     if trace is not None:
         # granular path with per-stage snapshots (the reference's debug
         # dump mode, `cpu-raw.lua:126-140`)
+        if u is None:
+            u = jnp.zeros_like(f)
         u = ops.smooth(u, f, h, spec.nu_pre, smoother, bc)
         rec("u_pre", u)
         R = ops.residual_restrict(u, f, h, bc)
         rec("r", ops.residual(u, f, h, bc))
         rec("R", R)
+    elif u is None:
+        u, R = ops.smooth_residual_restrict_zero(f, h, spec.nu_pre,
+                                                 smoother, bc)
     else:
         u, R = ops.smooth_residual_restrict(u, f, h, spec.nu_pre,
                                             smoother, bc)
     if constrain is not None:
         R = constrain(R)
 
-    V = jnp.zeros_like(R)
-    for _ in range(gamma):
+    # first coarse visit starts from V=0 (from-zero down-leg); a
+    # W-cycle's second visit carries the first's result
+    V = _cycle(None, R, 2 * h, spec, gamma, False, trace, constrain)
+    for _ in range(gamma - 1):
         V = _cycle(V, R, 2 * h, spec, gamma, False, trace, constrain)
     rec("V", V)
 

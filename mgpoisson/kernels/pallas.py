@@ -76,9 +76,21 @@ _VMEM_LIMIT = int(os.environ.get(
     str(max(20, 2 * (_VMEM_BUDGET >> 20))))) * 1024 * 1024
 
 
-def _compiler_params():
+def _compiler_params(vmem_bytes: int | None = None):
+    """vmem_bytes: the kernel's exact scratch census, when known.  The
+    declared limit is then census + 16 MB of Mosaic value-stack
+    headroom (measured: the bm=64 write-through packed kernel's
+    Mosaic stack demand is ~13.8 MB above its 23.1 MB scratch census),
+    clamped to [20, 72] MB — v5e's scoped-vmem ceiling is ~112 MB, so
+    a single hot kernel may honestly declare past the default 32 MB
+    where its census demands it, while small kernels stay tight."""
+    limit = _VMEM_LIMIT
+    if vmem_bytes is not None:
+        limit = max(20 * 1024 * 1024,
+                    min(72 * 1024 * 1024,
+                        vmem_bytes + (16 << 20)))
     return pltpu.CompilerParams(has_side_effects=True,
-                                vmem_limit_bytes=_VMEM_LIMIT)
+                                vmem_limit_bytes=limit)
 
 
 def _interpret() -> bool:
@@ -2335,6 +2347,128 @@ def _smooth_rr_fused(u, f, *, h: float, nu: int, smoother: str, bc: str,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("h", "nu", "smoother", "bc", "interpret", "halo",
+                     "bm"))
+def _rr_fused_zero(f, *, h: float, nu: int, smoother: str, bc: str,
+                   interpret: bool, halo: int, bm: int):
+    """_smooth_rr_fused from u IDENTICALLY ZERO — every coarse
+    V-cycle's entry (cycle/vcycle.py hands the recursion u=None).  The
+    zero iterate neither gets written to HBM nor read back: the kernel
+    streams ONLY f and materializes the zeros in VMEM, so the
+    half-level costs 2.25 array passes instead of 4.25.  Arithmetic is
+    identical to _smooth_rr_fused on an explicit zeros array."""
+    n = f.shape[0]
+    dtype = f.dtype
+    n_stripes = n // bm
+    assert n_stripes >= 2 and bm > 2 * halo and bm % 16 == 0
+    assert halo % 8 == 0
+    R_ = bm + 2 * halo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+    pmat = _halve_mat(n, dtype)
+
+    def kernel(f_hbm, p_hbm, out_hbm, rout_hbm,
+               fs, pv, outs, routs, in_sems, out_sems, rout_sems,
+               p_sem):
+        pdma = pltpu.make_async_copy(p_hbm, pv, p_sem)
+        pdma.start()
+
+        def issue(i, slot):
+            _stripe_in_fresh("start", f_hbm, fs, in_sems.at[slot], i,
+                             slot, bm, halo, n_stripes)
+
+        issue(0, 0)
+        pdma.wait()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+            other = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                issue(i + 1, other)
+
+            _stripe_in_fresh("wait", f_hbm, fs, in_sems.at[slot], i,
+                             slot, bm, halo, n_stripes)
+
+            @pl.when(i + 1 < n_stripes)
+            def _():
+                fs[other, pl.ds(0, 2 * halo)] = fs[slot,
+                                                   pl.ds(bm, 2 * halo)]
+
+            is_first = i == 0
+            is_last = i == n_stripes - 1
+            uv = _sweeps(jnp.zeros((R_, n), dtype), fs[slot], nu,
+                         smoother, bc, hsq, 0.0, halo, bm, is_first,
+                         is_last)
+            uv = _apply_row_bc(uv, bc, is_first, is_last, halo - 1,
+                               halo + bm)
+            rv_full = fs[slot] - (_nbr(uv, bc) - 4.0 * uv) \
+                * jnp.asarray(inv_hsq, dtype)
+            rv = rv_full[halo:halo + bm, :]
+            s = rv.reshape(bm // 2, 2, n).sum(axis=1)
+            Rv = _lane_halve(s, pv[:]) * jnp.asarray(0.25, dtype)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                    out_sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot], rout_hbm.at[pl.ds(0, bm // 2)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = uv[halo:halo + bm, :]
+            pltpu.make_async_copy(
+                outs.at[slot],
+                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                out_sems.at[slot]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(i * (bm // 2), 8),
+                                  bm // 2)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_stripes, body, 0)
+
+        for k in (n_stripes - 2, n_stripes - 1):
+            slot = k % 2
+            pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                out_sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot], rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
+                   jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R_, n), dtype),            # f stripes
+            pltpu.VMEM(pmat.shape, dtype),            # lane-halve matrix
+            pltpu.VMEM((2, bm, n), dtype),            # u out stripes
+            pltpu.VMEM((2, bm // 2, n // 2), dtype),  # R out stripes
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=_compiler_params(
+            f.dtype.itemsize * (2 * R_ * n + 2 * bm * n
+                                + bm * n // 2 + pmat.size)),
+        interpret=interpret,
+    )(f, pmat)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("h", "nu", "smoother", "bc", "kind", "interpret",
                      "halo", "bm", "rnorm"))
 def _pc_smooth_fused(u, f, V, *, h: float, nu: int, smoother: str, bc: str,
@@ -2683,6 +2817,28 @@ def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     return u, xla.residual_restrict(u, f, h, bc)
 
 
+def smooth_residual_restrict_zero(f, h, nu, smoother="jacobi",
+                                  bc="ghost0"):
+    """Down-leg from u IDENTICALLY ZERO (every coarse V-cycle entry):
+    the striped kernel streams only f — no zeros write, no u re-read
+    (2.25 array passes instead of 4.25).  Geometries without a striped
+    plan fall back to an explicit zeros array (XLA folds it; the
+    whole-VMEM and 3D levels are small or already cheap)."""
+    # n >= 4096 only: the zeros write + u re-read cost ~0.65 ms at
+    # 8192 and ~0.16 at 4096 but pennies below — not worth one more
+    # Mosaic compile per small level
+    if f.ndim == 2 and f.shape[0] >= 4096:
+        plan = _fused_plan_or_whole(f, nu, smoother)
+        if plan is not None and plan[0] == "striped":
+            _, halo, bm = plan
+            return _rr_fused_zero(f, h=float(h), nu=nu,
+                                  smoother=smoother, bc=bc,
+                                  interpret=_interpret(), halo=halo,
+                                  bm=bm)
+    return smooth_residual_restrict(jnp.zeros_like(f), f, h, nu,
+                                    smoother, bc)
+
+
 def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
                            kind="inject"):
     """u += P(V), then post-smooth x nu."""
@@ -2905,13 +3061,22 @@ def _packed_prolong_stripe(vv, kind, is_first, is_last, chalo, bm):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "nu", "interpret", "halo", "bm"))
+    static_argnames=("h", "nu", "interpret", "halo", "bm",
+                     "write_through"))
 def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
-                     halo: int, bm: int):
+                     halo: int, bm: int, write_through: bool = False):
     """Packed down-leg: nu rbgs sweeps + residual + 2x2 restrict, all
     in the packed layout; one HBM round trip.  Returns (up', Rc) with
     Rc the UNPACKED (n/2, n/2) coarse rhs (coarse levels run the
-    normal path).  ghost0 only (fine level)."""
+    normal path).  ghost0 only (fine level).
+
+    write_through: drop the double-buffered out stripes and drain the
+    result from the INPUT stripe buffer's interior rows — the buffer
+    is dead after the head handoff, and the freed 2*bm rows of VMEM
+    buy a 2x-wider stripe at sizes where the plain census bottoms out
+    (bm=32 at 16384^2 f32 = 50% redundant sweep rows).  Cost: the
+    drain must finish before stripe i+2's fresh DMA reuses the slot —
+    one extra wait two stripes upstream, far behind the compute."""
     n = up.shape[0]
     w = n // 2
     dtype = up.dtype
@@ -2922,8 +3087,13 @@ def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
     hsq = h * h
     inv_hsq = 1.0 / hsq
 
-    def kernel(u_hbm, f_hbm, out_hbm, rout_hbm,
-               us, fs, outs, routs, in_sems, out_sems, rout_sems):
+    def kernel(u_hbm, f_hbm, out_hbm, rout_hbm, *rest):
+        if write_through:
+            us, fs, routs, in_sems, out_sems, rout_sems = rest
+            outs = None
+        else:
+            us, fs, outs, routs, in_sems, out_sems, rout_sems = rest
+
         def issue(i, slot):
             _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
                              slot, bm, halo, n_stripes)
@@ -2938,6 +3108,15 @@ def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
 
             @pl.when(i + 1 < n_stripes)
             def _():
+                if write_through:
+                    # the other slot's write-through drain (started in
+                    # body i-1) must land before its fresh reload
+                    @pl.when(i >= 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            us.at[other, pl.ds(halo, bm)],
+                            out_hbm.at[pl.ds(0, bm)],
+                            out_sems.at[other]).wait()
                 issue(i + 1, other)
 
             _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
@@ -2972,19 +3151,30 @@ def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
 
             @pl.when(i >= 2)
             def _():
-                pltpu.make_async_copy(
-                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
-                    out_sems.at[slot]).wait()
+                if not write_through:
+                    pltpu.make_async_copy(
+                        outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                        out_sems.at[slot]).wait()
                 pltpu.make_async_copy(
                     routs.at[slot], rout_hbm.at[pl.ds(0, bm // 2)],
                     rout_sems.at[slot]).wait()
 
-            outs[slot] = jnp.concatenate(
-                [xr[halo:halo + bm, :], xb[halo:halo + bm, :]], axis=1)
-            pltpu.make_async_copy(
-                outs.at[slot],
-                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
-                out_sems.at[slot]).start()
+            if write_through:
+                us[slot, pl.ds(halo, bm)] = jnp.concatenate(
+                    [xr[halo:halo + bm, :], xb[halo:halo + bm, :]],
+                    axis=1)
+                pltpu.make_async_copy(
+                    us.at[slot, pl.ds(halo, bm)],
+                    out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                    out_sems.at[slot]).start()
+            else:
+                outs[slot] = jnp.concatenate(
+                    [xr[halo:halo + bm, :], xb[halo:halo + bm, :]],
+                    axis=1)
+                pltpu.make_async_copy(
+                    outs.at[slot],
+                    out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                    out_sems.at[slot]).start()
             routs[slot] = Rv
             pltpu.make_async_copy(
                 routs.at[slot],
@@ -2997,13 +3187,28 @@ def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
 
         for k in (n_stripes - 2, n_stripes - 1):
             slot = k % 2
+            src = us.at[slot, pl.ds(halo, bm)] if write_through \
+                else outs.at[slot]
             pltpu.make_async_copy(
-                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                src, out_hbm.at[pl.ds(k * bm, bm)],
                 out_sems.at[slot]).wait()
             pltpu.make_async_copy(
                 routs.at[slot], rout_hbm.at[pl.ds(k * (bm // 2), bm // 2)],
                 rout_sems.at[slot]).wait()
 
+    scratch = [
+        pltpu.VMEM((2, R_, n), dtype),            # packed u stripes
+        pltpu.VMEM((2, R_, n), dtype),            # packed f stripes
+        pltpu.VMEM((2, bm, n), dtype),            # u out stripes
+        pltpu.VMEM((2, bm // 2, n // 2), dtype),  # Rc out stripes
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if write_through:
+        del scratch[2]                             # no out stripes
+    census = dtype.itemsize * (4 * R_ * n + bm * n // 4
+                               + (0 if write_through else 2 * bm * n))
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
@@ -3012,16 +3217,8 @@ def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         input_output_aliases=_alias(up),
-        scratch_shapes=[
-            pltpu.VMEM((2, R_, n), dtype),            # packed u stripes
-            pltpu.VMEM((2, R_, n), dtype),            # packed f stripes
-            pltpu.VMEM((2, bm, n), dtype),            # u out stripes
-            pltpu.VMEM((2, bm // 2, n // 2), dtype),  # Rc out stripes
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=_compiler_params(),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(census),
         interpret=interpret,
     )(up, fp)
 
@@ -3029,14 +3226,16 @@ def _packed_rr_fused(up, fp, *, h: float, nu: int, interpret: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("h", "nu", "kind", "interpret", "halo", "bm",
-                     "rnorm"))
+                     "rnorm", "write_through"))
 def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
                      interpret: bool, halo: int, bm: int,
-                     rnorm: bool = False):
+                     rnorm: bool = False, write_through: bool = False):
     """Packed up-leg: u += P(V) + nu rbgs sweeps in the packed layout;
     V is the UNPACKED (n/2, n/2) coarse correction.  rnorm: also
     return a (1, n) f32 row of column-partial sums of the result's
-    squared residual (free stop='residual', as _pc_smooth_fused)."""
+    squared residual (free stop='residual', as _pc_smooth_fused).
+    write_through: drain from the input stripe buffer (see
+    _packed_rr_fused) — frees 2*bm VMEM rows for a wider stripe."""
     n = up.shape[0]
     w = n // 2
     dtype = up.dtype
@@ -3050,12 +3249,20 @@ def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
     inv_hsq = 1.0 / hsq
 
     def kernel(u_hbm, f_hbm, v_hbm, out_hbm, *rest):
-        if rnorm:
+        if rnorm and write_through:
+            (racc_hbm, us, fs, vs, racc,
+             in_sems, out_sems, r_sem) = rest
+            outs = None
+        elif rnorm:
             (racc_hbm, us, fs, vs, outs, racc,
              in_sems, out_sems, r_sem) = rest
-            racc[:] = jnp.zeros_like(racc)
+        elif write_through:
+            us, fs, vs, in_sems, out_sems = rest
+            outs = None
         else:
             us, fs, vs, outs, in_sems, out_sems = rest
+        if rnorm:
+            racc[:] = jnp.zeros_like(racc)
 
         def issue(i, slot):
             _stripe_in_fresh("start", u_hbm, us, in_sems.at[slot, 0], i,
@@ -3073,6 +3280,13 @@ def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
 
             @pl.when(i + 1 < n_stripes)
             def _():
+                if write_through:
+                    @pl.when(i >= 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            us.at[other, pl.ds(halo, bm)],
+                            out_hbm.at[pl.ds(0, bm)],
+                            out_sems.at[other]).wait()
                 issue(i + 1, other)
 
             _stripe_in_fresh("wait", u_hbm, us, in_sems.at[slot, 0], i,
@@ -3113,26 +3327,38 @@ def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
                 racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
                                             keepdims=True)
 
-            @pl.when(i >= 2)
-            def _():
+            if write_through:
+                us[slot, pl.ds(halo, bm)] = jnp.concatenate(
+                    [xr[halo:halo + bm, :], xb[halo:halo + bm, :]],
+                    axis=1)
                 pltpu.make_async_copy(
-                    outs.at[slot], out_hbm.at[pl.ds(0, bm)],
-                    out_sems.at[slot]).wait()
+                    us.at[slot, pl.ds(halo, bm)],
+                    out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                    out_sems.at[slot]).start()
+            else:
+                @pl.when(i >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        outs.at[slot], out_hbm.at[pl.ds(0, bm)],
+                        out_sems.at[slot]).wait()
 
-            outs[slot] = jnp.concatenate(
-                [xr[halo:halo + bm, :], xb[halo:halo + bm, :]], axis=1)
-            pltpu.make_async_copy(
-                outs.at[slot],
-                out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
-                out_sems.at[slot]).start()
+                outs[slot] = jnp.concatenate(
+                    [xr[halo:halo + bm, :], xb[halo:halo + bm, :]],
+                    axis=1)
+                pltpu.make_async_copy(
+                    outs.at[slot],
+                    out_hbm.at[pl.ds(pl.multiple_of(i * bm, 8), bm)],
+                    out_sems.at[slot]).start()
             return 0
 
         jax.lax.fori_loop(0, n_stripes, body, 0)
 
         for k in (n_stripes - 2, n_stripes - 1):
             slot = k % 2
+            src = us.at[slot, pl.ds(halo, bm)] if write_through \
+                else outs.at[slot]
             pltpu.make_async_copy(
-                outs.at[slot], out_hbm.at[pl.ds(k * bm, bm)],
+                src, out_hbm.at[pl.ds(k * bm, bm)],
                 out_sems.at[slot]).wait()
 
         if rnorm:
@@ -3147,6 +3373,8 @@ def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
         pltpu.VMEM((2, Rc, w), dtype),        # V coarse stripes
         pltpu.VMEM((2, bm, n), dtype),        # out stripes
     ]
+    if write_through:
+        del scratch[3]                         # no out stripes
     sems = [
         pltpu.SemaphoreType.DMA((2, 3)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -3167,36 +3395,546 @@ def _packed_pc_fused(up, fp, V, *, h: float, nu: int, kind: str,
         out_specs=out_specs,
         input_output_aliases=_alias(up),
         scratch_shapes=scratch + sems,
+        compiler_params=_compiler_params(
+            dtype.itemsize * (4 * R_ * n + 2 * Rc * w
+                              + (0 if write_through else 2 * bm * n))),
+        interpret=interpret,
+    )(up, fp, V)
+
+
+# --------------------- two-axis-blocked packed kernels ---------------
+# At n >= 8192 one packed f32 row is >= 32 KB, so the full-width stripe
+# plan bottoms out at thin stripes (bm=32 at 16384^2) whose 2*halo
+# overlap is 50% redundant sweep rows — measured 1.45x the DMA floor
+# where the 4096^2 striped kernels run at 1.01x.  These kernels block
+# BOTH axes: per-COLOR windows of (bm + 2*hr rows, bcp + 256 packed
+# lanes), four input streams (u, f x red, black), the lane halo at the
+# 128-lane DMA granularity.  The sweep core is the same _packed_core
+# (its hc>0 column-window path); restrict stays lane-trivial (coarse
+# lane == packed lane) so Rc blocks write back directly.  No
+# input-output aliasing: clipped halo re-reads would race an in-place
+# drain (the unpacked wide kernels' stash machinery exists for exactly
+# that; here a separate output costs capacity, not traffic).
+
+_PACKED_WIDE_BUDGET = 19 * 1024 * 1024   # proven-compiling envelope:
+# the striped bm=32@16384^2 geometry's ~18.9 MB of scratch compiles and
+# runs (BENCH r5 config5); ~29 MB (bm=128@8192 striped) crashes Mosaic.
+
+
+def packed_wide_plan(n: int, nu: int, itemsize: int):
+    """(hr, bm, bcp) two-axis geometry for the packed kernels, or
+    None.  bcp is in PACKED lanes (fine block = bm x 2*bcp).  f32 only
+    (bf16 always has a wide-enough striped plan via the halved rows)."""
+    if nu < 1 or nu > 3 or itemsize < 4:
+        return None
+    if n < 2 * _LANE_CHUNK or n % _LANE_CHUNK:
+        return None
+    w = n // 2
+    hr = 8               # rbgs radius 2: 2*nu + 1 <= 7 < 8
+    best = None
+    for bm in (256, 128, 64):
+        if n % bm:
+            continue
+        for bcp in (4096, 2048, 1024):
+            if w % bcp or w // bcp < 2:
+                continue
+            R, Cp = bm + 2 * hr, bcp + 2 * _HC
+            rr_bytes = itemsize * (4 * 2 * R * Cp + 2 * bm * 2 * bcp
+                                   + 2 * (bm // 2) * bcp)
+            pc_bytes = itemsize * (4 * 2 * R * Cp + 2 * bm * 2 * bcp
+                                   + 2 * (bm // 2 + 16) * Cp)
+            if max(rr_bytes, pc_bytes) > _PACKED_WIDE_BUDGET:
+                continue
+            util = (bm * bcp) / (R * Cp)
+            if best is None or util > best[0]:
+                best = (util, hr, bm, bcp)
+    return None if best is None else best[1:]
+
+
+def _pk_block_in(op, hbm, vref, sem, ir, ic, slot, bm, hr, nrs,
+                 bcp, ncs, lane_off):
+    """Two-axis clipped block DMA into a per-color window: rows
+    [ir*bm - hr, ..+bm+hr) clipped, packed lanes [ic*bcp - 128,
+    ..+bcp+128) clipped to the color plane [lane_off, lane_off +
+    ncs*bcp)."""
+    cases1 = [(c, lane_off + s, l, d)
+              for (c, s, l, d) in _axis_cases(ic, bcp, _HC, ncs)]
+    _block_in_cases(op, hbm, vref, sem, slot,
+                    _axis_cases(ir, bm, hr, nrs), cases1,
+                    _mult8, _mult128)
+
+
+def _packed_prolong_block(vv, kind, is_first, is_last, cf, cl,
+                          chalo, bm, bcp):
+    """Windowed _packed_prolong_stripe: vv is a coarse V window of
+    (bm/2 + 2*chalo, bcp + 2*_HC) — coarse lanes ARE packed lanes, so
+    the lane halo is the DMA-granularity 128.  Returns (Pr, Pb) of
+    (bm + 4*chalo, bcp + 2*_HC); edge weights apply only when the
+    corresponding window flag marks a global boundary."""
+    dtype = vv.dtype
+    if kind == "bilinear" and dtype.itemsize < 4:
+        pr, pb = _packed_prolong_block(vv.astype(jnp.float32), kind,
+                                       is_first, is_last, cf, cl,
+                                       chalo, bm, bcp)
+        return pr.astype(dtype), pb.astype(dtype)
+    v2 = jnp.repeat(vv, 2, axis=0)              # fine rows, packed lanes
+    if kind == "inject":
+        return v2, v2
+    hcl = _HC
+    rows = jax.lax.broadcasted_iota(jnp.int32, (v2.shape[0], 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, v2.shape[1]), 1)
+    # zero outside-grid regions (clipped-DMA stale scratch or ghost)
+    # before the shifts: 0-weight still propagates 0*garbage
+    v2 = jnp.where(is_first & (rows < 2 * chalo), 0.0, v2)
+    v2 = jnp.where(is_last & (rows >= bm + 2 * chalo), 0.0, v2)
+    v2 = jnp.where(cf & (cols < hcl), 0.0, v2)
+    v2 = jnp.where(cl & (cols >= hcl + bcp), 0.0, v2)
+    # row blend (identical to the stripe form)
+    zr2 = jnp.zeros_like(v2[:2, :])
+    vm = jnp.concatenate([zr2, v2[:-2, :]], axis=0)
+    vp = jnp.concatenate([v2[2:, :], zr2], axis=0)
+    er = (rows % 2) == 0
+    s0 = jnp.where(er, vm, vp)
+    row_edge = ((is_first & (rows == 2 * chalo))
+                | (is_last & (rows == bm + 2 * chalo - 1)))
+    a0 = jnp.where(row_edge, jnp.asarray(0.5, dtype),
+                   jnp.asarray(0.75, dtype))
+    b0 = jnp.where(row_edge, jnp.asarray(0.0, dtype),
+                   jnp.asarray(0.25, dtype))
+    B = a0 * v2 + b0 * s0
+    # lane blend per color; global edge columns live at local lanes
+    # hcl / hcl + bcp - 1, active only on cf/cl windows
+    zc = jnp.zeros_like(B[:, :1])
+    bl = jnp.concatenate([zc, B[:, :-1]], axis=1)   # lane j-1
+    br = jnp.concatenate([B[:, 1:], zc], axis=1)    # lane j+1
+    half = jnp.asarray(0.5, dtype)
+    a_in = jnp.asarray(0.75, dtype)
+    b_in = jnp.asarray(0.25, dtype)
+    c0i, c9i = hcl, hcl + bcp - 1
+
+    def blend(red):
+        s1 = jnp.where(er, bl, br) if red else jnp.where(er, br, bl)
+        if red:
+            edge = (cf & er & (cols == c0i)) | (cl & ~er & (cols == c9i))
+        else:
+            edge = (cf & ~er & (cols == c0i)) | (cl & er & (cols == c9i))
+        a1 = jnp.where(edge, half, a_in)
+        b1 = jnp.where(edge, jnp.asarray(0.0, dtype), b_in)
+        return a1 * B + b1 * s1
+
+    return blend(True), blend(False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "interpret", "hr", "bm", "bcp"))
+def _packed_rr_fused_wide(up, fp, *, h: float, nu: int, interpret: bool,
+                          hr: int, bm: int, bcp: int):
+    """Two-axis packed down-leg: nu rbgs sweeps + residual + 2x2
+    restrict per (bm x 2*bcp)-cell block.  Returns (up', Rc) with Rc
+    the UNPACKED (n/2, n/2) coarse rhs.  ghost0 only."""
+    n = up.shape[0]
+    w = n // 2
+    dtype = up.dtype
+    nrs, ncs = n // bm, w // bcp
+    n_blocks = nrs * ncs
+    assert nrs >= 1 and ncs >= 2 and bm % 16 == 0 and hr % 8 == 0
+    R, Cp = bm + 2 * hr, bcp + 2 * _HC
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, out_hbm, rout_hbm,
+               urs, ubs, frs, fbs, outs, routs,
+               in_sems, out_sems, rout_sems):
+        def issue(b, slot):
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+            _pk_block_in("start", u_hbm, urs, in_sems.at[slot, 0], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("start", u_hbm, ubs, in_sems.at[slot, 1], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+            _pk_block_in("start", f_hbm, frs, in_sems.at[slot, 2], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("start", f_hbm, fbs, in_sems.at[slot, 3], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+
+        issue(0, 0)
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _pk_block_in("wait", u_hbm, urs, in_sems.at[slot, 0], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("wait", u_hbm, ubs, in_sems.at[slot, 1], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+            _pk_block_in("wait", f_hbm, frs, in_sems.at[slot, 2], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("wait", f_hbm, fbs, in_sems.at[slot, 3], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+
+            is_first = ir == 0
+            is_last = ir == nrs - 1
+            cf, cl = ic == 0, ic == ncs - 1
+            xr, xb = urs[slot], ubs[slot]
+            fr, fb_ = frs[slot], fbs[slot]
+            mhq = jnp.asarray(-hsq * 0.25, dtype)
+            xr, xb = _packed_core(xr, xb, fr * mhq, fb_ * mhq, nu,
+                                  "ghost0", halo=hr, bm=bm,
+                                  is_first=is_first, is_last=is_last,
+                                  hc=2 * _HC, bcw=2 * bcp, cf=cf, cl=cl)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            er = (rows % 2) == 0
+            r_r, r_b = _packed_residual(xr, xb, fr, fb_, inv_hsq, er)
+            s = (r_r + r_b)[hr:hr + bm, _HC:_HC + bcp]
+            Rv = s.reshape(bm // 2, 2, bcp).sum(axis=1) \
+                * jnp.asarray(0.25, dtype)
+
+            @pl.when(b >= 2)
+            def _():
+                for k in range(2):
+                    pltpu.make_async_copy(
+                        outs.at[slot, :, pl.ds(k * bcp, bcp)],
+                        out_hbm.at[pl.ds(0, bm), pl.ds(0, bcp)],
+                        out_sems.at[slot, k]).wait()
+                pltpu.make_async_copy(
+                    routs.at[slot],
+                    rout_hbm.at[pl.ds(0, bm // 2), pl.ds(0, bcp)],
+                    rout_sems.at[slot]).wait()
+
+            outs[slot] = jnp.concatenate(
+                [xr[hr:hr + bm, _HC:_HC + bcp],
+                 xb[hr:hr + bm, _HC:_HC + bcp]], axis=1)
+            for k, off in ((0, 0), (1, w)):
+                pltpu.make_async_copy(
+                    outs.at[slot, :, pl.ds(k * bcp, bcp)],
+                    out_hbm.at[pl.ds(pl.multiple_of(ir * bm, 8), bm),
+                               pl.ds(pl.multiple_of(off + ic * bcp,
+                                                    128), bcp)],
+                    out_sems.at[slot, k]).start()
+            routs[slot] = Rv
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(pl.multiple_of(ir * (bm // 2), 8),
+                                  bm // 2),
+                            pl.ds(pl.multiple_of(ic * bcp, 128), bcp)],
+                rout_sems.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for kb in (n_blocks - 2, n_blocks - 1):
+            slot = kb % 2
+            ir, ic = kb // ncs, kb % ncs
+            for k in range(2):
+                pltpu.make_async_copy(
+                    outs.at[slot, :, pl.ds(k * bcp, bcp)],
+                    out_hbm.at[pl.ds(ir * bm, bm),
+                               pl.ds(k * w + ic * bcp, bcp)],
+                    out_sems.at[slot, k]).wait()
+            pltpu.make_async_copy(
+                routs.at[slot],
+                rout_hbm.at[pl.ds(ir * (bm // 2), bm // 2),
+                            pl.ds(ic * bcp, bcp)],
+                rout_sems.at[slot]).wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n), dtype),
+                   jax.ShapeDtypeStruct((n // 2, n // 2), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, Cp), dtype),            # red u windows
+            pltpu.VMEM((2, R, Cp), dtype),            # black u windows
+            pltpu.VMEM((2, R, Cp), dtype),            # red f windows
+            pltpu.VMEM((2, R, Cp), dtype),            # black f windows
+            pltpu.VMEM((2, bm, 2 * bcp), dtype),      # out blocks
+            pltpu.VMEM((2, bm // 2, bcp), dtype),     # Rc out blocks
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(up, fp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "nu", "kind", "interpret", "hr", "bm", "bcp",
+                     "rnorm"))
+def _packed_pc_fused_wide(up, fp, V, *, h: float, nu: int, kind: str,
+                          interpret: bool, hr: int, bm: int, bcp: int,
+                          rnorm: bool = False):
+    """Two-axis packed up-leg: u += P(V) + nu rbgs sweeps per block;
+    V is the UNPACKED coarse correction (coarse lanes == packed
+    lanes).  rnorm: also return a (1, 2*bcp) f32 row of lane-partial
+    sums of the result's squared residual."""
+    n = up.shape[0]
+    w = n // 2
+    dtype = up.dtype
+    nrs, ncs = n // bm, w // bcp
+    n_blocks = nrs * ncs
+    assert nrs >= 1 and ncs >= 2 and bm % 16 == 0
+    assert hr % 8 == 0 and hr <= 14
+    R, Cp = bm + 2 * hr, bcp + 2 * _HC
+    chalo = 8
+    Rc = bm // 2 + 2 * chalo
+    hsq = h * h
+    inv_hsq = 1.0 / hsq
+
+    def kernel(u_hbm, f_hbm, v_hbm, out_hbm, *rest):
+        if rnorm:
+            (racc_hbm, urs, ubs, frs, fbs, vs, outs, racc,
+             in_sems, out_sems, r_sem) = rest
+            racc[:] = jnp.zeros_like(racc)
+        else:
+            urs, ubs, frs, fbs, vs, outs, in_sems, out_sems = rest
+
+        def issue(b, slot):
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+            _pk_block_in("start", u_hbm, urs, in_sems.at[slot, 0], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("start", u_hbm, ubs, in_sems.at[slot, 1], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+            _pk_block_in("start", f_hbm, frs, in_sems.at[slot, 2], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("start", f_hbm, fbs, in_sems.at[slot, 3], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+            _pk_block_in("start", v_hbm, vs, in_sems.at[slot, 4], ir,
+                         ic, slot, bm // 2, chalo, nrs, bcp, ncs, 0)
+
+        issue(0, 0)
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            ir, ic = b // ncs, jax.lax.rem(b, ncs)
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                issue(b + 1, jax.lax.rem(b + 1, 2))
+
+            _pk_block_in("wait", u_hbm, urs, in_sems.at[slot, 0], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("wait", u_hbm, ubs, in_sems.at[slot, 1], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+            _pk_block_in("wait", f_hbm, frs, in_sems.at[slot, 2], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, 0)
+            _pk_block_in("wait", f_hbm, fbs, in_sems.at[slot, 3], ir,
+                         ic, slot, bm, hr, nrs, bcp, ncs, w)
+            _pk_block_in("wait", v_hbm, vs, in_sems.at[slot, 4], ir,
+                         ic, slot, bm // 2, chalo, nrs, bcp, ncs, 0)
+
+            is_first = ir == 0
+            is_last = ir == nrs - 1
+            cf, cl = ic == 0, ic == ncs - 1
+            pr, pb = _packed_prolong_block(vs[slot], kind, is_first,
+                                           is_last, cf, cl, chalo, bm,
+                                           bcp)
+            lo = 2 * chalo - hr
+            fr, fb_ = frs[slot], fbs[slot]
+            xr = urs[slot] + pr[lo:lo + R, :]
+            xb = ubs[slot] + pb[lo:lo + R, :]
+            mhq = jnp.asarray(-hsq * 0.25, dtype)
+            xr, xb = _packed_core(xr, xb, fr * mhq, fb_ * mhq, nu,
+                                  "ghost0", halo=hr, bm=bm,
+                                  is_first=is_first, is_last=is_last,
+                                  hc=2 * _HC, bcw=2 * bcp, cf=cf, cl=cl)
+
+            if rnorm:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+                er = (rows % 2) == 0
+                r_r, r_b = _packed_residual(xr, xb, fr, fb_, inv_hsq,
+                                            er)
+                rv = jnp.concatenate(
+                    [r_r[hr:hr + bm, _HC:_HC + bcp],
+                     r_b[hr:hr + bm, _HC:_HC + bcp]],
+                    axis=1).astype(jnp.float32)
+                racc[:] = racc[:] + jnp.sum(rv * rv, axis=0,
+                                            keepdims=True)
+
+            @pl.when(b >= 2)
+            def _():
+                for k in range(2):
+                    pltpu.make_async_copy(
+                        outs.at[slot, :, pl.ds(k * bcp, bcp)],
+                        out_hbm.at[pl.ds(0, bm), pl.ds(0, bcp)],
+                        out_sems.at[slot, k]).wait()
+
+            outs[slot] = jnp.concatenate(
+                [xr[hr:hr + bm, _HC:_HC + bcp],
+                 xb[hr:hr + bm, _HC:_HC + bcp]], axis=1)
+            for k, off in ((0, 0), (1, w)):
+                pltpu.make_async_copy(
+                    outs.at[slot, :, pl.ds(k * bcp, bcp)],
+                    out_hbm.at[pl.ds(pl.multiple_of(ir * bm, 8), bm),
+                               pl.ds(pl.multiple_of(off + ic * bcp,
+                                                    128), bcp)],
+                    out_sems.at[slot, k]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+
+        for kb in (n_blocks - 2, n_blocks - 1):
+            slot = kb % 2
+            ir, ic = kb // ncs, kb % ncs
+            for k in range(2):
+                pltpu.make_async_copy(
+                    outs.at[slot, :, pl.ds(k * bcp, bcp)],
+                    out_hbm.at[pl.ds(ir * bm, bm),
+                               pl.ds(k * w + ic * bcp, bcp)],
+                    out_sems.at[slot, k]).wait()
+
+        if rnorm:
+            rdma = pltpu.make_async_copy(racc, racc_hbm, r_sem)
+            rdma.start()
+            rdma.wait()
+
+    out_shape = jax.ShapeDtypeStruct((n, n), dtype)
+    scratch = [
+        pltpu.VMEM((2, R, Cp), dtype),        # red u windows
+        pltpu.VMEM((2, R, Cp), dtype),        # black u windows
+        pltpu.VMEM((2, R, Cp), dtype),        # red f windows
+        pltpu.VMEM((2, R, Cp), dtype),        # black f windows
+        pltpu.VMEM((2, Rc, Cp), dtype),       # V coarse windows
+        pltpu.VMEM((2, bm, 2 * bcp), dtype),  # out blocks
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((2, 5)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if rnorm:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, 2 * bcp), jnp.float32))
+        scratch = scratch + [pltpu.VMEM((1, 2 * bcp), jnp.float32)]
+        sems = sems + [pltpu.SemaphoreType.DMA(())]
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(up, fp, V)
 
 
+# Write-through striped census: dropping the out stripes (drain from
+# the input buffer) frees 2*bm full-width rows, admitting 2x the
+# stripe at the sizes where the plain census bottoms out.  The budget
+# is the proven-compiling envelope (see _PACKED_WIDE_BUDGET): the
+# bm=64@16384^2 write-through geometry is ~24 MB of scratch.
+_PACKED_WT_BUDGET = 25 * 1024 * 1024
+
+
+def packed_plan_wt(n: int, nu: int, itemsize: int):
+    """(halo, bm) for the write-through striped packed kernels, or
+    None.  Only returned by packed_plan_any when it beats the plain
+    striped bm (the write-through drain adds one pipeline wait, worth
+    it only for the stripe-width doubling)."""
+    if nu < 1 or nu > 3 or n < _LANE_CHUNK or n % _LANE_CHUNK:
+        return None
+    halo = -(-(2 * nu + 1) // 8) * 8
+    cap = (_BF16_RBGS_MAX_BM if itemsize < 4 else n)
+    bm = min(n // 2, cap)
+    while bm > 2 * halo:
+        if n % bm == 0 and bm % 16 == 0:
+            both = itemsize * (4 * (bm + 2 * halo) * n
+                               + 2 * (bm // 2 + 16) * (n // 2))
+            if both <= _PACKED_WT_BUDGET:
+                return halo, bm
+        bm //= 2
+    return None
+
+
+def packed_plan_any(n: int, nu: int, itemsize: int):
+    """Dispatch plan for the packed entry points:
+    ('striped', halo, bm[, write_through]) | ('wide', hr, (bm, bcp)) |
+    None.  Preference order, from on-device measurement (v5e, f32,
+    16384^2): plain stripes while they stay wide (bm >= 16*halo:
+    <= ~12.5% redundant rows), then WRITE-THROUGH stripes at 2x bm
+    (the freed out-buffer VMEM halves the overlap fraction), then thin
+    plain stripes, then the two-axis blocks — which measured 2.1x the
+    DMA floor (per-block overhead of 7-10 strided-window DMA
+    descriptors vs the stripe pipeline's contiguous transfers) and
+    exist to EXTEND coverage past the striped VMEM ceiling
+    (n >= 32768 f32), not to win under it."""
+    p = packed_plan(n, nu, itemsize)
+    if p is not None:
+        # Write-through at 2x bm measured SLOWER than thin plain
+        # stripes (16384^2 f32: wt bm=64 rr 5.73 ms vs plain bm=32
+        # 5.35 — the drain-before-reload serialization costs more than
+        # the halved row redundancy saves), so it never auto-engages;
+        # packed_plan_wt + the write_through kernel variant stay for
+        # the record (MGPOISSON_PACKED_WT=1 to force, for re-tuning on
+        # future hardware).
+        if os.environ.get("MGPOISSON_PACKED_WT") == "1":
+            pw = packed_plan_wt(n, nu, itemsize)
+            if pw is not None and pw[1] > p[1]:
+                return ("striped", pw[0], pw[1], True)
+        return ("striped", p[0], p[1], False)
+    pwide = packed_wide_plan(n, nu, itemsize)
+    if pwide is not None:
+        return ("wide", pwide[0], (pwide[1], pwide[2]))
+    return None
+
+
 def packed_smooth_residual_restrict(up, fp, h, nu):
-    """Packed-persistent down-leg.  Caller guarantees packed_plan(...)
+    """Packed-persistent down-leg.  Caller guarantees packed_plan_any
     is not None (mgpoisson.cycle.packed gates support)."""
-    halo, bm = packed_plan(up.shape[0], nu,
+    plan = packed_plan_any(up.shape[0], nu,
                            jnp.dtype(up.dtype).itemsize)
+    if plan[0] == "wide":
+        hr, (bm, bcp) = plan[1], plan[2]
+        return _packed_rr_fused_wide(up, fp, h=float(h), nu=nu,
+                                     interpret=_interpret(), hr=hr,
+                                     bm=bm, bcp=bcp)
+    _, halo, bm, wt = plan
     return _packed_rr_fused(up, fp, h=float(h), nu=nu,
-                            interpret=_interpret(), halo=halo, bm=bm)
+                            interpret=_interpret(), halo=halo, bm=bm,
+                            write_through=wt)
 
 
 def packed_prolong_correct_smooth(up, fp, V, h, nu, kind="inject"):
     """Packed-persistent up-leg."""
-    halo, bm = packed_plan(up.shape[0], nu,
+    plan = packed_plan_any(up.shape[0], nu,
                            jnp.dtype(up.dtype).itemsize)
+    if plan[0] == "wide":
+        hr, (bm, bcp) = plan[1], plan[2]
+        return _packed_pc_fused_wide(up, fp, V, h=float(h), nu=nu,
+                                     kind=kind, interpret=_interpret(),
+                                     hr=hr, bm=bm, bcp=bcp)
+    _, halo, bm, wt = plan
     return _packed_pc_fused(up, fp, V, h=float(h), nu=nu, kind=kind,
-                            interpret=_interpret(), halo=halo, bm=bm)
+                            interpret=_interpret(), halo=halo, bm=bm,
+                            write_through=wt)
 
 
 def packed_prolong_correct_smooth_rnorm(up, fp, V, h, nu,
                                         kind="inject"):
     """Packed-persistent up-leg + fused sum(r^2) of the result."""
-    halo, bm = packed_plan(up.shape[0], nu,
+    plan = packed_plan_any(up.shape[0], nu,
                            jnp.dtype(up.dtype).itemsize)
+    if plan[0] == "wide":
+        hr, (bm, bcp) = plan[1], plan[2]
+        u2, racc = _packed_pc_fused_wide(up, fp, V, h=float(h), nu=nu,
+                                         kind=kind,
+                                         interpret=_interpret(), hr=hr,
+                                         bm=bm, bcp=bcp, rnorm=True)
+        return u2, jnp.sum(racc)
+    _, halo, bm, wt = plan
     u2, racc = _packed_pc_fused(up, fp, V, h=float(h), nu=nu, kind=kind,
                                 interpret=_interpret(), halo=halo,
-                                bm=bm, rnorm=True)
+                                bm=bm, rnorm=True, write_through=wt)
     return u2, jnp.sum(racc)
 
 

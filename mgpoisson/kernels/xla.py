@@ -289,6 +289,16 @@ def smooth_residual_restrict(u, f, h, nu, smoother="jacobi", bc="ghost0"):
     return u, residual_restrict(u, f, h, bc)
 
 
+def smooth_residual_restrict_zero(f, h, nu, smoother="jacobi",
+                                  bc="ghost0"):
+    """Down-leg from u IDENTICALLY ZERO — every coarse V-cycle entry
+    (cycle/vcycle.py).  Values identical to passing an explicit zeros
+    array; XLA's algebraic simplifier folds the first sweep's
+    zero-operand stencil, so no kernel variant is needed here."""
+    return smooth_residual_restrict(jnp.zeros_like(f), f, h, nu,
+                                    smoother, bc)
+
+
 def prolong_correct_smooth(u, f, V, h, nu, smoother="jacobi", bc="ghost0",
                            kind="inject"):
     """u += P(V), then post-smooth x nu."""

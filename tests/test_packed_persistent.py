@@ -122,6 +122,93 @@ def test_packed_cycle_rejects_constrain():
         PK.make_packed_cycle(spec, constrain=lambda x: x)
 
 
+@pytest.mark.parametrize("nu", [1, 2])
+def test_packed_wide_matches_unpacked(nu):
+    """Two-axis packed kernels (the n >= 8192 geometry) at a testable
+    size with forced blocks: n=512, bm=64, bcp=128 -> 8x2 block grid
+    exercises row AND lane halos, all four edge-flag combinations, and
+    the per-color window DMA."""
+    n, bm, bcp = 512, 64, 128
+    u, f = _rand(n)
+    h = 1.0 / n
+    up, fp = P.pack_grid(u), P.pack_grid(f)
+
+    us = X.smooth(u, f, h, nu, "rbgs", "ghost0")
+    R = X.residual_restrict(us, f, h, "ghost0")
+    u2p, Rp = P._packed_rr_fused_wide(up, fp, h=h, nu=nu,
+                                      interpret=True, hr=8, bm=bm,
+                                      bcp=bcp)
+    np.testing.assert_allclose(np.asarray(P.unpack_grid(u2p)),
+                               np.asarray(us), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(R),
+                               rtol=1e-3, atol=3e-7 / h ** 2)
+
+    V = jnp.asarray(RNG.standard_normal((n // 2, n // 2)), F32)
+    for kind in ("inject", "bilinear"):
+        uc = X.smooth(X.prolong_correct(u, V, kind), f, h, nu, "rbgs",
+                      "ghost0")
+        gp = P._packed_pc_fused_wide(up, fp, V, h=h, nu=nu, kind=kind,
+                                     interpret=True, hr=8, bm=bm,
+                                     bcp=bcp)
+        np.testing.assert_allclose(np.asarray(P.unpack_grid(gp)),
+                                   np.asarray(uc), atol=5e-6)
+    g2, racc = P._packed_pc_fused_wide(up, fp, V, h=h, nu=nu,
+                                       kind="inject", interpret=True,
+                                       hr=8, bm=bm, bcp=bcp, rnorm=True)
+    expect = X.residual_sq_sum(P.unpack_grid(g2), f, h)
+    np.testing.assert_allclose(float(jnp.sum(racc)), float(expect),
+                               rtol=1e-4)
+
+
+def test_packed_plan_any_dispatch():
+    """Plain stripes while wide (<= ~12.5% overlap), write-through
+    stripes at 2x bm in the thin-stripe regime, two-axis blocks only
+    past the striped VMEM ceiling (n >= 32768)."""
+    assert P.packed_plan_any(4096, 1, 4) == ("striped", 8, 128, False)
+    assert P.packed_plan_any(8192, 1, 4) == ("striped", 8, 64, False)
+    assert P.packed_plan_any(16384, 1, 4) == ("striped", 8, 32, False)
+    assert P.packed_plan_any(16384, 1, 2) == ("striped", 8, 64, False)
+    # write-through never auto-engages (measured slower than thin
+    # plain stripes); forced via env for re-tuning
+    assert P.packed_plan_wt(16384, 1, 4) == (8, 64)
+    assert P.packed_wide_plan(16384, 1, 4) == (8, 128, 2048)
+    p32k = P.packed_plan_any(32768, 1, 4)
+    assert p32k is not None and p32k[0] == "wide"
+
+
+@pytest.mark.parametrize("nu", [1, 2])
+def test_packed_write_through_matches(nu):
+    """The write-through drain variant (large-n geometry) is exactly
+    the plain kernel's math — only the VMEM drain path differs."""
+    n = 256
+    u, f = _rand(n)
+    h = 1.0 / n
+    up, fp = P.pack_grid(u), P.pack_grid(f)
+    us = X.smooth(u, f, h, nu, "rbgs", "ghost0")
+    R = X.residual_restrict(us, f, h, "ghost0")
+    u2p, Rp = P._packed_rr_fused(up, fp, h=h, nu=nu, interpret=True,
+                                 halo=8, bm=32, write_through=True)
+    np.testing.assert_allclose(np.asarray(P.unpack_grid(u2p)),
+                               np.asarray(us), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(R),
+                               rtol=1e-3, atol=3e-7 / h ** 2)
+    V = jnp.asarray(RNG.standard_normal((n // 2, n // 2)), F32)
+    for kind in ("inject", "bilinear"):
+        uc = X.smooth(X.prolong_correct(u, V, kind), f, h, nu, "rbgs",
+                      "ghost0")
+        gp = P._packed_pc_fused(up, fp, V, h=h, nu=nu, kind=kind,
+                                interpret=True, halo=8, bm=32,
+                                write_through=True)
+        np.testing.assert_allclose(np.asarray(P.unpack_grid(gp)),
+                                   np.asarray(uc), atol=5e-6)
+    g2, racc = P._packed_pc_fused(up, fp, V, h=h, nu=nu, kind="inject",
+                                  interpret=True, halo=8, bm=32,
+                                  rnorm=True, write_through=True)
+    expect = X.residual_sq_sum(P.unpack_grid(g2), f, h)
+    np.testing.assert_allclose(float(jnp.sum(racc)), float(expect),
+                               rtol=1e-4)
+
+
 def test_packed_pc_rnorm_matches():
     n = 256
     u, f = _rand(n)
