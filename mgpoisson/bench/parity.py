@@ -244,6 +244,69 @@ def run_parity(full: bool = False, sizes=(512, 2048)) -> dict:
                                                 rnorm=True)),
                         _pkr_ref)
 
+    # from-zero down-leg (every coarse V-cycle entry, n >= 4096 in
+    # production): the striped _rr_fused_zero vs XLA on an explicit
+    # zeros array, f32 + bf16
+    for n in sizes:
+        h = 1.0 / n
+        for dtype in dtypes:
+            dt = {"float32": "f32",
+                  "bfloat16": "bf16"}[jnp.dtype(dtype).name]
+            plan = pk._fused_plan(n, 3, "wjacobi",
+                                  jnp.dtype(dtype).itemsize)
+            if not (n // plan[1] >= 2 and plan[1] > 2 * plan[0]
+                    and plan[1] % 16 == 0):
+                continue
+            _, f = _mkdata((n, n), dtype, seed=13)
+
+            def _z_ref(f=f, h=h):
+                u = xla.smooth(jnp.zeros_like(f), f, h, 3, "wjacobi",
+                               "ghost0")
+                return u, xla.residual_restrict(u, f, h, "ghost0")
+
+            add(f"rr_zero_{n}_{dt}",
+                lambda f=f, h=h, plan=plan: pk._rr_fused_zero(
+                    f, h=h, nu=3, smoother="wjacobi", bc="ghost0",
+                    interpret=False, halo=plan[0], bm=plan[1]),
+                _z_ref)
+
+    # two-axis packed + write-through packed variants (coverage
+    # fallbacks: wide engages at n >= 32768, write-through only under
+    # MGPOISSON_PACKED_WT) at forced testable geometries
+    n = 2048
+    h = 1.0 / n
+    u, f = _mkdata((n, n), jnp.float32, seed=14)
+    up, fp = pk.pack_grid(u), pk.pack_grid(f)
+    V = _mkdata((n // 2, n // 2), jnp.float32, seed=15)[0]
+
+    def _pk_rr_ref(u=u, f=f, h=h):
+        us = xla.smooth(u, f, h, 1, "rbgs", "ghost0")
+        return us, xla.residual_restrict(us, f, h, "ghost0")
+
+    add("packed_rr_wide_2048_f32",
+        lambda: (lambda o: (pk.unpack_grid(o[0]), o[1]))(
+            pk._packed_rr_fused_wide(up, fp, h=h, nu=1,
+                                     interpret=False, hr=8, bm=128,
+                                     bcp=256)),
+        _pk_rr_ref)
+    add("packed_pc_wide_2048_f32",
+        lambda: pk.unpack_grid(pk._packed_pc_fused_wide(
+            up, fp, V, h=h, nu=1, kind="inject", interpret=False,
+            hr=8, bm=128, bcp=256)),
+        lambda: xla.smooth(xla.prolong_correct(u, V, "inject"), f, h,
+                           1, "rbgs", "ghost0"))
+    add("packed_rr_wt_2048_f32",
+        lambda: (lambda o: (pk.unpack_grid(o[0]), o[1]))(
+            pk._packed_rr_fused(up, fp, h=h, nu=1, interpret=False,
+                                halo=8, bm=256, write_through=True)),
+        _pk_rr_ref)
+    add("packed_pc_wt_2048_f32",
+        lambda: pk.unpack_grid(pk._packed_pc_fused(
+            up, fp, V, h=h, nu=1, kind="inject", interpret=False,
+            halo=8, bm=256, write_through=True)),
+        lambda: xla.smooth(xla.prolong_correct(u, V, "inject"), f, h,
+                           1, "rbgs", "ghost0"))
+
     # wide (two-axis-blocked) kernels with forced geometry — the
     # n >= 8192 code path exercised at a testable size
     n = 1024

@@ -817,6 +817,12 @@ def _plan_wide(n, nu, smoother, itemsize, n_v_bufs=0):
     hr = 8
     if radius * nu > hr:
         return None
+    # the wide census may exceed the global stripe budget by a little:
+    # 16384^2 f32 measured (nu=3 wjacobi, rr+pc fine level) 16.9 ms at
+    # the 16 MB-fitting (128, 2048) blocks vs 15.4 ms at (128, 4096)
+    # whose 16.7 MB census still compiles comfortably (the ~20 MB
+    # Mosaic envelope); (256, 4096) and (128, 8192) at ~31 MB crash
+    budget = max(_VMEM_BUDGET, 17 * 1024 * 1024)
     best = None
     for bm in (256, 128, 64, 32):
         if n % bm:
@@ -829,9 +835,11 @@ def _plan_wide(n, nu, smoother, itemsize, n_v_bufs=0):
                                + 2 * hr * n   # block-row boundary stash
                                + n_v_bufs * (bm // 2 + 16) * (bc // 2
                                                               + 2 * _HC))
-            if vmem > _VMEM_BUDGET:
+            if vmem > budget:
                 continue
-            util = (bm * bc) / ((bm + 2 * hr) * (bc + 2 * _HC))
+            # wider bc as tiebreak: fewer, larger lane windows measure
+            # faster at equal utilization (column-halo DMA count)
+            util = ((bm * bc) / ((bm + 2 * hr) * (bc + 2 * _HC)), bc)
             if best is None or util > best[0]:
                 best = (util, hr, bm, bc)
     return None if best is None else best[1:]
@@ -2960,10 +2968,15 @@ def packed_plan(n: int, nu: int, itemsize: int):
     Buffer census is 5 full-width buffer-rows (u in x2, f in x2, out
     x2 at bm plus the quarter-size Rc/V stripes), tighter than
     _fused_plan's 6 — the difference matters at 16384^2 f32, where it
-    admits bm=32 striping.  Thin stripes cost no extra HBM traffic:
-    the halo head is a VMEM handoff from the previous stripe's buffer
-    (_stripe_in_fresh), unlike the wide kernels' 128-lane column halo
-    which is redundant DMA every block."""
+    admits bm=32 striping.  Exact-census check (ADVICE r4): the true
+    footprint is 4*(bm+2h)*n + 2*bm*n + max(Rc, V) bytes — 18.9 MB at
+    bm=32/16384^2, measured compiling and running on device (r5); an
+    exact census at the proven ~19 MB envelope selects the SAME bm at
+    every engaged size (bm=64 at 16384 needs 31.5 MB, crash zone), so
+    the 5-row heuristic stands.  Thin stripes cost no extra HBM
+    traffic: the halo head is a VMEM handoff from the previous
+    stripe's buffer (_stripe_in_fresh), unlike the wide kernels'
+    128-lane column halo which is redundant DMA every block."""
     if nu < 1 or nu > 3 or n < _LANE_CHUNK or n % _LANE_CHUNK:
         return None
     halo = -(-(2 * nu + 1) // 8) * 8

@@ -28,34 +28,21 @@ def newest_artifact() -> str:
     return paths[-1]
 
 
-def recover_truncated(record: dict) -> dict:
-    """Rebuild the bench dict from a driver artifact whose `tail` lost
-    the head of the JSON line (the driver keeps only the last 2000
-    chars of stdout; round 3's line was longer, so `parsed` is null and
-    the tail starts mid-way through the extra.metric_note string).
-
-    Everything from '"platform":' onward survives verbatim in the tail,
-    and the lost head fields are all derivable: the metric name is the
-    fixed f-string in bench.py, and value = the single-sweep 3-array
-    HBM round trip recomputed from the surviving smoother_nu1_time_ms
-    and size — so the recovered numbers still carry driver provenance.
-    """
-    tail = record["tail"]
-    idx = tail.find('"platform"')
-    if idx < 0:
-        raise SystemExit("artifact tail unrecoverable: no \"platform\" key")
-    extra = json.loads("{" + tail[idx:].rstrip()[:-1])  # strip outer '}'
-    size = extra["size"]
-    t_s1 = extra["smoother_nu1_time_ms"] / 1e3
-    gbps = 3 * size * size * 4 / 1e9 / t_s1
-    target = extra["roofline_target_gbps"]
-    return {
-        "metric": f"smoother_hbm_roundtrip_gbps_{size}x{size}_f32",
-        "value": round(gbps, 2),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / target, 4),
-        "extra": extra,
-    }
+def merge_extras(bench: dict) -> dict:
+    """bench.py r5+ prints a compact tracked line and writes the full
+    measurement set to BENCH_extras.json alongside; merge the two so
+    the table can use everything (the extras file is written by the
+    SAME run — elapsed/size fields cross-check)."""
+    out = bench.get("parsed", bench)
+    xp = os.path.join(REPO, "BENCH_extras.json")
+    if os.path.exists(xp) and isinstance(out, dict):
+        with open(xp) as fh:
+            extras = json.load(fh)
+        ex = dict(extras)
+        ex.update(out.get("extra", {}))
+        out = dict(out)
+        out["extra"] = ex
+    return out
 
 
 def fmt_ms(v) -> str:
@@ -120,7 +107,8 @@ def render(bench: dict, src_name: str) -> str:
             "bfloat16 smoother sweep",
             f"{ex['bf16_smoother_phys_gbps']:.0f} GB/s physical = "
             f"{ex['bf16_speedup_vs_f32']:.2f}× the f32 sweep "
-            "(half the bytes per cell)", "—"))
+            "(half the bytes per cell; ±10 % run-to-run — r3 measured "
+            "838, r4 745 GB/s)", "—"))
     if ex.get("bf16_solve_floor_relres") is not None:
         floor = ex["bf16_solve_floor_relres"]
         floor_txt = (f"relative residual ≈ {floor:.0e}"
@@ -141,12 +129,19 @@ def render(bench: dict, src_name: str) -> str:
             f"{ex.get('mixed_bf16_final_relres', float('nan')):.0e}"
             "; Spec.sweep_dtype)", "—"))
     if ex.get("fast_scheme_cycles_to_1e-10") is not None:
+        packed_note = ""
+        if ex.get("fast_packed_vcycle_ms") is not None:
+            packed_note = (
+                f" — packed-persistent fine level: "
+                f"{ex['fast_packed_vcycle_ms']:.2f} ms/cycle "
+                f"({ex.get('fast_packed_vcycle_rnorm_ms', float('nan')):.2f}"
+                " with fused ‖r‖)")
         rows.append((
             "scheme=\"fast\" (rbgs 1+1) solve to 1e-10",
-            f"{ex['fast_scheme_cycles_to_1e-10']} cycles × "
-            f"{ex.get('fast_scheme_vcycle_ms', float('nan')):.2f} ms = "
+            f"{ex['fast_scheme_cycles_to_1e-10']} cycles, "
             f"**{ex.get('fast_scheme_solve_compute_ms', float('nan')):.1f}"
-            " ms** total compute (5× less than tuned)", "—"))
+            " ms** total compute (priced at the executed cycle)"
+            + packed_note, "—"))
     if ex.get("spmd_vs_unsharded_vcycle") is not None:
         rows.append((
             "shard_map step on a (1,1) mesh vs unsharded V-cycle",
@@ -174,10 +169,13 @@ def render(bench: dict, src_name: str) -> str:
             f"**{cfg5['solve_wall_s']:.2f} s** warm solve "
             "(two-axis-blocked kernels)", "—"))
     if cfg5.get("fast_cycles") is not None:
+        pk5 = ""
+        if cfg5.get("fast_packed_vcycle_ms") is not None:
+            pk5 = (f" at {cfg5['fast_packed_vcycle_ms']:.1f} ms/packed "
+                   "cycle")
         rows.append((
             "16384² with scheme=\"fast\"",
-            f"{cfg5['fast_cycles']} cycle(s) × "
-            f"{cfg5.get('fast_vcycle_time_ms', float('nan')):.1f} ms = "
+            f"{cfg5['fast_cycles']} cycle(s){pk5} = "
             f"**{cfg5.get('fast_solve_compute_ms', float('nan')):.0f} "
             "ms** total compute", "—"))
     lines = [
@@ -205,9 +203,7 @@ def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else newest_artifact()
     with open(path) as fh:
         bench = json.load(fh)
-    if isinstance(bench, dict) and "tail" in bench \
-            and bench.get("parsed") is None:
-        bench = recover_truncated(bench)
+    bench = merge_extras(bench)
     block = render(bench, os.path.basename(path))
     readme = os.path.join(REPO, "README.md")
     with open(readme) as fh:
