@@ -52,15 +52,20 @@ psi, err = mg.step(-f, f)
 err_f = float(err)
 assert np.isfinite(err_f)
 
-# value parity: every addressable shard matches the unsharded step
+# value parity: every addressable shard matches the unsharded step.
+# f32 cross-path tolerance (3e-5, scaled): the spmd step's psum and
+# deep-halo orders differ from the single-device reduction order —
+# same bar as tests/test_pallas_sharded.py's spmd parity gates
 mg1 = MultigridPoisson(spec)
 import jax.numpy as jnp
 psi_ref, err_ref = mg1.step(jnp.asarray(-f_np), jnp.asarray(f_np))
 psi_ref = np.asarray(psi_ref)
+scale = float(np.max(np.abs(psi_ref))) or 1.0
 for shard in psi.addressable_shards:
     np.testing.assert_allclose(np.asarray(shard.data),
-                               psi_ref[shard.index], rtol=1e-6, atol=1e-6)
-assert abs(err_f - float(err_ref)) <= 1e-6 * max(abs(float(err_ref)), 1.0)
+                               psi_ref[shard.index], rtol=3e-5,
+                               atol=3e-5 * scale)
+assert abs(err_f - float(err_ref)) <= 1e-5 * max(abs(float(err_ref)), 1.0)
 
 # 3D: the grid shards axes (0, 1) over ('x', 'y'), axis 2 local —
 # make_global_array must emit P('x', 'y', None) for rank-3 blocks
@@ -79,9 +84,11 @@ assert np.isfinite(float(err3))
 psi3_ref, err3_ref = MultigridPoisson(spec3).step(
     jnp.asarray(-f3_np), jnp.asarray(f3_np))
 psi3_ref = np.asarray(psi3_ref)
+scale3 = float(np.max(np.abs(psi3_ref))) or 1.0
 for shard in psi3.addressable_shards:
     np.testing.assert_allclose(np.asarray(shard.data),
-                               psi3_ref[shard.index], rtol=1e-6, atol=1e-6)
+                               psi3_ref[shard.index], rtol=3e-5,
+                               atol=3e-5 * scale3)
 
 # per-shard fused Pallas strip kernels across the process boundary:
 # partition='spmd' + interpret kernels (MGPOISSON_PALLAS_INTERPRET set
