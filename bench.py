@@ -672,6 +672,9 @@ def main():
     # (name, min-budget-seconds before starting, fn).  Budgets are
     # worst-case COLD estimates (remote Mosaic compiles ~30-60 s each);
     # warm-cache runs finish each section far faster.
+    # parity runs LAST: it is the longest section (one compiled run +
+    # one XLA reference per case) and every other section's metrics
+    # should land even when the deadline cuts it short
     sections = [
         ("headline", 90, sec_headline),
         ("vcycle", 90, sec_vcycle),
@@ -679,11 +682,11 @@ def main():
         ("fast_packed", 120, sec_fast_packed),
         ("config5", 200, sec_config5),
         ("spmd", 110, sec_spmd),
-        ("parity", 200, sec_parity),
         ("fmg", 60, sec_fmg),
         ("adaptive", 60, sec_adaptive),
         ("bf16", 110, sec_bf16),
         ("3d", 140, sec_3d),
+        ("parity", 150, sec_parity),
     ]
     if not on_tpu:
         # no Pallas/sharded/config5 paths off-TPU: keep the harness
