@@ -398,7 +398,7 @@ def sec_config5(S):
     f5 = mg5.rhs()
     psi5 = mg5.init_state(f5)
     t5 = chain_time(lambda u, ff: v_cycle(u, ff, spec5.fine_h, spec5),
-                    psi5, k1=4, k2=24, tries=3, consts=(f5,))
+                    psi5, k1=8, k2=48, tries=4, consts=(f5,))
     cfg5["vcycle_time_ms"] = round(t5 * 1e3, 4)
     res5 = mg5.solve(f5)
     _sync(res5.psi)
@@ -419,7 +419,7 @@ def sec_config5(S):
     cfg5["fast_cycles"] = res5f.iterations if res5f.converged else -1
     t5f = chain_time(lambda u, ff: v_cycle(u, ff, spec5f.fine_h,
                                            spec5f), psi5,
-                     k1=4, k2=24, tries=3, consts=(f5,))
+                     k1=8, k2=48, tries=4, consts=(f5,))
     cfg5["fast_vcycle_time_ms"] = round(t5f * 1e3, 4)
     t5_exec = t5f
     if mg5f._packed:
@@ -428,7 +428,7 @@ def sec_config5(S):
         fp5 = _PK.pack(f5)
         up5 = _PK.pack(psi5)
         t5pk = chain_time(lambda u, ff: _pc5(u, ff, spec5f.fine_h)[0],
-                          up5, k1=4, k2=24, tries=3, consts=(fp5,))
+                          up5, k1=8, k2=48, tries=4, consts=(fp5,))
         cfg5["fast_packed_vcycle_ms"] = round(t5pk * 1e3, 4)
         t5_exec = t5pk
     cfg5["fast_solve_compute_ms"] = round(
