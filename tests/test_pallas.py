@@ -115,3 +115,28 @@ def test_wjacobi_smooth_paths(bc, nu, monkeypatch):
                                       bc=bc, interpret=True,
                                       halo=halo, bm=bm))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("smoother,nu", [("wjacobi", 3), ("rbgs", 1)])
+@pytest.mark.parametrize("bc", ["ghost0", "face"])
+def test_rr_fused_zero_matches_explicit_zeros(smoother, nu, bc):
+    """From-zero down-leg kernel (every coarse V-cycle entry,
+    cycle/vcycle.py u=None) == the normal fused kernel fed an explicit
+    zeros array — same arithmetic, only the zeros' HBM round trip is
+    elided."""
+    from mgpoisson.kernels import xla as X
+
+    n = 256
+    _, f = _data(n, seed=7)
+    h = 1.0 / n
+    fj = jnp.asarray(f)
+    # forced striped geometry (the production path for n >= 4096)
+    u_got, R_got = pk._rr_fused_zero(fj, h=h, nu=nu, smoother=smoother,
+                                     bc=bc, interpret=True, halo=8,
+                                     bm=32)
+    u_ref, R_ref = X.smooth_residual_restrict(
+        jnp.zeros_like(fj), fj, h, nu, smoother, bc)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(R_got), np.asarray(R_ref),
+                               rtol=1e-3, atol=3e-7 / h ** 2)
