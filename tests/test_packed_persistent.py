@@ -277,3 +277,26 @@ def test_packed_not_engaged_off_or_unsupported(monkeypatch):
                                  mesh_shape=(2, 2), smoother="rbgs"))
     monkeypatch.setenv("MGPOISSON_PACKED", "0")
     assert not PK.supported(Spec(size=256, scheme="fast"))
+
+
+def test_packed_bf16_solve_engages_and_matches(monkeypatch):
+    """The bf16 packed auto-engage (unblocked by the r5 on-device
+    parity sweep): a bf16 fast solve runs packed and lands within
+    bf16 reorder noise of the unpacked bf16 solve."""
+    from mgpoisson import MultigridPoisson
+
+    monkeypatch.setenv("MGPOISSON_PACKED", "1")
+    spec = Spec(size=256, scheme="fast", backend="pallas",
+                dtype="bfloat16", stop="residual", tol=1e-2, maxiter=8)
+    mg1 = MultigridPoisson(spec)
+    assert mg1._packed
+    r1 = mg1.solve()
+    monkeypatch.setenv("MGPOISSON_PACKED", "0")
+    mg0 = MultigridPoisson(spec)
+    assert not mg0._packed
+    r0 = mg0.solve()
+    assert abs(r1.iterations - r0.iterations) <= 1
+    a = np.asarray(r1.psi, dtype=np.float32)
+    b = np.asarray(r0.psi, dtype=np.float32)
+    scale = max(np.abs(b).max(), 1e-30)
+    np.testing.assert_allclose(a / scale, b / scale, atol=0.05)
