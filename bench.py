@@ -101,7 +101,7 @@ TRACKED_KEYS = [
     "fast_packed_vcycle_ms", "config5_16384",
     "solve_wall_s", "fast_scheme_cycles_to_1e-10",
     "fast_scheme_solve_compute_ms",
-    "spmd_vs_unsharded_vcycle",
+    "spmd_vs_unsharded_vcycle", "spmd_packed_vs_unsharded",
     "kernel_parity_max_err", "kernel_parity_n_cases",
     "kernel_parity_failures",
     "vcycle_rnorm_time_ms", "fmg_vcycles_to_1e-10",
@@ -452,6 +452,26 @@ def sec_spmd(S):
     if "t_vrn" in S:
         EXTRAS["spmd_vs_unsharded_vcycle"] = round(t_spmd / S["t_vrn"],
                                                    4)
+    # packed fine level under the partition (VERDICT r4 item 4 gate:
+    # the packed win must survive distribution — ~1.0x the unsharded
+    # packed rnorm cycle on a (1,1) mesh)
+    try:
+        from mgpoisson.cycle import packed as _PK
+        from mgpoisson.shard.spmd import build_spmd_step_packed
+        spec_pk = spec.with_(mesh_shape=(1, 1), partition="spmd",
+                             scheme="fast")
+        if _PK.supported_spmd(spec_pk, mesh1):
+            pkstep = jax.jit(build_spmd_step_packed(spec_pk, mesh1))
+            t_pks = kt(lambda u, ff: pkstep(u, ff)[0], psi, consts=(f,))
+            EXTRAS["spmd_packed_step_ms"] = round(t_pks * 1e3, 4)
+            spec_pk1 = spec_pk.with_(mesh_shape=None, partition="auto")
+            pcr1 = _PK.make_packed_cycle(spec_pk1, rnorm=True)
+            t_pk1 = kt(lambda u, ff: pcr1(u, ff, spec_pk1.fine_h)[0],
+                       psi, consts=(f,))
+            EXTRAS["spmd_packed_vs_unsharded"] = round(t_pks / t_pk1, 4)
+    except Exception as e:  # pragma: no cover
+        EXTRAS["spmd_packed_error"] = (
+            f"{type(e).__name__}: {str(e)[:120]}")
     # 3D analog: the z-strip kernels on a (1,1) mesh
     nu = S["nu"]
     spec3s = Spec(size=256, ndim=3, dtype="float32", scheme="tuned",
